@@ -1,0 +1,135 @@
+"""Configuration system: YAML configs (stage-2 TFAM) + typed dataclasses.
+
+Mirrors the reference's two mechanisms (SURVEY.md §5):
+- stage-1 argparse CLIs (reference train.py:178-216) — built per-CLI in
+  ``vimoclip_tpu.cli`` on top of these dataclasses;
+- stage-2 YAML schema with ``training/logging/data/model`` sections
+  (reference TFAM/cfg_AK/config_default.yaml, TFAM/train_and_eval.py:313-371)
+  including run-directory derivation
+  ``<config_name>/{logs,checkpoints}/<timestamp>``.
+
+Deliberate fix vs reference: the reference parses ``training.lr`` but then
+hardcodes AdamW lr=1e-4 (train_and_eval.py:53). Here the YAML value is
+honored; the default (1e-4) matches the reference's effective behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from datetime import datetime
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    mode: str = "both"  # train | test | both
+    seed: int = 49  # reference cfg_AK/config_default.yaml:3
+    lr: float = 1e-4
+    weight_decay: float = 0.1
+    eta_min: float = 1e-6
+    epochs: int = 30
+    batch_size: int = 8
+    num_workers: int = 4
+    device: str = "tpu"
+    # TPU-native additions (defaults preserve reference behavior)
+    loss: str = "bce"  # bce (AK multilabel) | ce (MammalNet single-label)
+    metric: str = "map"  # map | accuracy
+    data_parallel: int = -1
+    model_parallel: int = 1
+    half_precision: bool = False  # bfloat16 activations
+    resume: bool = False  # true train-resume (reference never resumes, SURVEY §5)
+
+
+@dataclasses.dataclass
+class LoggingConfig:
+    log_dir: str = "logs"
+    checkpoint_dir: str = "checkpoints"
+
+
+@dataclasses.dataclass
+class DataConfig:
+    num_classes: int = 140
+    class_names_dir: str = ""
+    train_dataset_path: str = ""
+    val_dataset_path: str = ""
+    flow_dataset_path: str = ""
+    frame_diff_dataset_path: str = ""
+    num_frames: int | None = None  # sparse temporal subsampling
+    max_frames: int | None = None  # drop videos with >= max_frames
+    # TPU-native addition: pad sequence lengths up to multiples of this bucket
+    # so XLA compiles a handful of shapes instead of one per batch.
+    length_bucket: int = 128
+    max_seq_len: int = 2048
+
+    @property
+    def motion_dataset_path(self) -> str:
+        return self.flow_dataset_path or self.frame_diff_dataset_path
+
+
+@dataclasses.dataclass
+class TFAMModelConfig:
+    d_model: int = 512
+    nhead: int = 8
+    num_layers: int = 4
+    dim_feedforward: int = 2048
+    use_cross_attention: bool = True
+    use_pe: bool = False
+    use_only_rgb: bool = False
+    use_only_flow: bool = False
+    concat_dim: int = 1
+    dropout: float = 0.1
+    mlp_dropout: float = 0.1
+    activation: str = "relu"  # FFN activation (reference AttentionLayer default)
+    masked_pooling: bool = False  # reference pools over pads (AMO_CLIP.py:170)
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    training: TrainingConfig
+    logging: LoggingConfig
+    data: DataConfig
+    model: TFAMModelConfig
+    config_path: str = ""
+
+    @property
+    def num_classes(self) -> int:
+        return self.data.num_classes
+
+
+def _build(cls, section: dict[str, Any] | None):
+    section = dict(section or {})
+    fields = {f.name for f in dataclasses.fields(cls)}
+    known = {k: v for k, v in section.items() if k in fields}
+    # Tolerate reference-era extra keys (e.g. config_test.yaml's unused
+    # `testing:` block / `device`) without failing.
+    return cls(**known)
+
+
+def load_experiment_config(path: str) -> ExperimentConfig:
+    with open(path, "r") as f:
+        cfg = yaml.safe_load(f) or {}
+    training = _build(TrainingConfig, cfg.get("training"))
+    if isinstance(training.lr, str):  # yaml "1e-4" parses as str
+        training.lr = float(training.lr)
+    return ExperimentConfig(
+        training=training,
+        logging=_build(LoggingConfig, cfg.get("logging")),
+        data=_build(DataConfig, cfg.get("data")),
+        model=_build(TFAMModelConfig, cfg.get("model")),
+        config_path=path,
+    )
+
+
+def derive_run_dirs(config: ExperimentConfig, run_name: str | None = None) -> tuple[str, str]:
+    """Timestamped run dirs ``<config_name>/{logs,checkpoints}/<ts>``
+    (reference TFAM/train_and_eval.py:366-371)."""
+    run_name = run_name or datetime.now().strftime("%Y%m%d-%H%M%S")
+    base = config.config_path.split(".yaml")[0] if config.config_path else "run"
+    log_dir = os.path.join(base, config.logging.log_dir, run_name)
+    ckpt_dir = os.path.join(base, config.logging.checkpoint_dir, run_name)
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    return log_dir, ckpt_dir

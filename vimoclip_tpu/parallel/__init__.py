@@ -1,0 +1,15 @@
+from vimoclip_tpu.parallel.mesh import (  # noqa: F401
+    MeshConfig,
+    create_mesh,
+    batch_sharding,
+    replicated_sharding,
+    local_batch_slice,
+    initialize_distributed,
+)
+from vimoclip_tpu.parallel.partition import (  # noqa: F401
+    PartitionRules,
+    TFAM_PARTITION_RULES,
+    STUDENT_PARTITION_RULES,
+    partition_params,
+    shard_params,
+)

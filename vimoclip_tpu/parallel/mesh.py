@@ -1,0 +1,97 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's entire parallelism story is single-process
+``torch.nn.DataParallel`` over local GPUs (SURVEY.md §2.3; reference
+train.py:64, TFAM/train_and_eval.py:392). The TPU-native replacement is a
+``jax.sharding.Mesh`` over the ICI fabric:
+
+- ``data`` axis: batch (data) parallelism — gradient all-reduce rides ICI via
+  XLA-inserted ``psum`` when a pjit'ed train step consumes a
+  ``P("data", ...)``-sharded batch.
+- ``model`` axis: optional tensor parallelism for wide layers (the TFAM FFN is
+  512x2048 — see ``vimoclip_tpu.parallel.partition``). d_model=512 makes TP
+  unnecessary at v5e-8 scale, but the axis is first-class so the same code
+  scales to larger fusion models and multi-host slices.
+
+Multi-host (DCN) setup goes through ``initialize_distributed`` / standard
+``jax.distributed``; per-host input sharding uses ``local_batch_slice``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Mesh geometry. ``data_parallel=-1`` means "all remaining devices"."""
+
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int]:
+        mp = max(1, self.model_parallel)
+        dp = self.data_parallel
+        if dp == -1:
+            if n_devices % mp:
+                raise ValueError(f"{n_devices} devices not divisible by model={mp}")
+            dp = n_devices // mp
+        if dp * mp != n_devices:
+            raise ValueError(
+                f"mesh {dp}x{mp} != available device count {n_devices}"
+            )
+        return dp, mp
+
+
+def create_mesh(
+    config: MeshConfig | None = None, devices: list | None = None
+) -> Mesh:
+    """Build a 2-D ``(data, model)`` mesh over the available devices.
+
+    On a single chip this degenerates to a 1x1 mesh, so every code path in
+    the framework is mesh-aware with zero special-casing.
+    """
+    config = config or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    dp, mp = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(dp, mp)
+    return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch-leading array: batch split over ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The slice of a global batch this host is responsible for feeding.
+
+    Mirrors what the reference would need if it ever went multi-node; with
+    DataParallel it never did (SURVEY.md §2.3).
+    """
+    n_proc = jax.process_count()
+    if global_batch % n_proc:
+        raise ValueError(f"global batch {global_batch} % hosts {n_proc} != 0")
+    per_host = global_batch // n_proc
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)
+
+
+def initialize_distributed() -> None:
+    """Initialise multi-host JAX over DCN when launched under a cluster
+    coordinator. No-op in single-process runs (the common case for v5e-8,
+    which is a single host)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

@@ -1,0 +1,36 @@
+"""Seeded PRNG discipline.
+
+The reference seeds python/numpy/torch globally (``set_seed``,
+/root/reference/TFAM/train_and_eval.py:28-38, seed=49 in all sweep configs).
+JAX PRNG is explicit and splittable; this module provides the one global-ish
+convenience (numpy/python seeding for host-side shuffling) plus a small
+key-chain helper so every consumer derives keys deterministically from the
+experiment seed.
+"""
+
+from __future__ import annotations
+
+import random
+
+import jax
+import numpy as np
+
+
+def set_seed(seed: int = 0) -> jax.Array:
+    """Seed host-side RNGs (python, numpy — used for dataset shuffling) and
+    return the root JAX key for the experiment."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+class KeyChain:
+    """Deterministic named key derivation: ``chain("dropout", step)`` always
+    yields the same key for the same (seed, name, step)."""
+
+    def __init__(self, seed: int):
+        self._root = jax.random.key(seed)
+
+    def __call__(self, name: str, index: int = 0) -> jax.Array:
+        folded = jax.random.fold_in(self._root, hash(name) & 0x7FFFFFFF)
+        return jax.random.fold_in(folded, index)
