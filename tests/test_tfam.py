@@ -1,0 +1,205 @@
+"""Numerical-parity tests: vimoclip_tpu TFAM vs a torch transcription of the
+reference fusion transformer (reference TFAM/models/AMO_CLIP.py). Weights are
+generated in torch, converted via models.torch_compat, and logits compared in
+eval mode across all fusion modes."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from vimoclip_tpu.config import TFAMModelConfig
+from vimoclip_tpu.models import TFAM
+from vimoclip_tpu.models.torch_compat import tfam_params_from_torch
+
+D, HEADS, LAYERS, FF, CLASSES = 64, 4, 2, 128, 9
+
+
+class TorchBlock(nn.Module):
+    """Torch oracle for the reference AttentionLayer (post-norm, optional
+    cross-attention, ReLU FFN) built from torch primitives."""
+
+    def __init__(self):
+        super().__init__()
+        self.self_attn = nn.MultiheadAttention(D, HEADS, dropout=0.0, batch_first=True)
+        self.cross_attn = nn.MultiheadAttention(D, HEADS, dropout=0.0, batch_first=True)
+        self.ffn = nn.Sequential(
+            nn.Linear(D, FF), nn.ReLU(), nn.Dropout(0.0), nn.Linear(FF, D), nn.Dropout(0.0)
+        )
+        self.norm_self = nn.LayerNorm(D)
+        self.norm_cross = nn.LayerNorm(D)
+        self.norm_ffn = nn.LayerNorm(D)
+
+    def forward(self, x, cross_src=None, src_kpm=None, cross_kpm=None):
+        a, _ = self.self_attn(x, x, x, key_padding_mask=src_kpm)
+        x = self.norm_self(x + a)
+        if cross_src is not None:
+            a, _ = self.cross_attn(x, cross_src, cross_src, key_padding_mask=cross_kpm)
+            x = self.norm_cross(x + a)
+        x = self.norm_ffn(x + self.ffn(x))
+        return x
+
+
+class TorchOracle(nn.Module):
+    def __init__(self, mode, concat_dim=1, use_pe=False):
+        super().__init__()
+        self.mode, self.concat_dim, self.use_pe = mode, concat_dim, use_pe
+        self.layers = nn.ModuleList([TorchBlock() for _ in range(LAYERS)])
+        self.classifier = nn.Sequential(
+            nn.LayerNorm(D), nn.Linear(D, D // 2), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(D // 2, CLASSES),
+        )
+        self.projection_layer = nn.Linear(2 * D, D)
+
+    def _pe(self, seq_len):
+        position = torch.arange(seq_len).unsqueeze(1)
+        div = torch.exp(torch.arange(0, D, 2) * (-math.log(10000.0) / D))
+        pe = torch.zeros(seq_len, D)
+        pe[:, 0::2] = torch.sin(position * div)
+        pe[:, 1::2] = torch.cos(position * div)
+        return pe
+
+    def forward(self, rgb, motion, mask_rgb, mask_flow):
+        kpm_rgb, kpm_flow = ~mask_rgb, ~mask_flow
+        if self.use_pe:
+            rgb = rgb + self._pe(rgb.size(1)).unsqueeze(0)
+            motion = motion + self._pe(motion.size(1)).unsqueeze(0)
+        if self.mode == "rgb":
+            x = rgb
+            for l in self.layers:
+                x = l(x, src_kpm=kpm_rgb)
+        elif self.mode == "flow":
+            x = motion
+            for l in self.layers:
+                x = l(x, src_kpm=kpm_flow)
+        elif self.mode == "cross":
+            x = rgb
+            for l in self.layers:
+                x = l(x, cross_src=motion, src_kpm=kpm_rgb, cross_kpm=kpm_flow)
+        else:  # concat
+            rgb, kpm_rgb = rgb[:, :-1, :], kpm_rgb[:, :-1]
+            if self.concat_dim == 1:
+                x = torch.cat([rgb, motion], dim=1)
+                kpm = torch.cat([kpm_rgb, kpm_flow], dim=1)
+            else:
+                x = self.projection_layer(torch.cat([rgb, motion], dim=-1))
+                kpm = kpm_flow
+            for l in self.layers:
+                x = l(x, src_kpm=kpm)
+        return self.classifier(x.mean(dim=1))
+
+
+def _inputs(seed=0, b=3, t=11):
+    rng = np.random.default_rng(seed)
+    rgb = rng.normal(size=(b, t, D)).astype(np.float32)
+    motion = rng.normal(size=(b, t - 1, D)).astype(np.float32)
+    lens = np.array([t, t - 3, t - 5])
+    mask_rgb = np.arange(t)[None, :] < lens[:, None]
+    mask_flow = np.arange(t - 1)[None, :] < (lens - 1)[:, None]
+    return rgb, motion, mask_rgb, mask_flow
+
+
+def _config(mode, concat_dim=1, use_pe=False, masked_pooling=False):
+    return TFAMModelConfig(
+        d_model=D, nhead=HEADS, num_layers=LAYERS, dim_feedforward=FF,
+        use_cross_attention=(mode == "cross"),
+        use_only_rgb=(mode == "rgb"), use_only_flow=(mode == "flow"),
+        concat_dim=concat_dim, use_pe=use_pe, dropout=0.1, mlp_dropout=0.3,
+        masked_pooling=masked_pooling,
+    )
+
+
+@pytest.mark.parametrize(
+    "mode,concat_dim,use_pe",
+    [
+        ("cross", 1, False),
+        ("cross", 1, True),
+        ("rgb", 1, False),
+        ("flow", 1, False),
+        ("concat", 1, False),
+        ("concat", -1, False),
+    ],
+)
+def test_tfam_matches_torch_oracle(mode, concat_dim, use_pe):
+    torch.manual_seed(5)
+    oracle = TorchOracle(mode, concat_dim=concat_dim, use_pe=use_pe).eval()
+    rgb, motion, mask_rgb, mask_flow = _inputs()
+
+    with torch.no_grad():
+        ref = oracle(
+            torch.from_numpy(rgb), torch.from_numpy(motion),
+            torch.from_numpy(mask_rgb), torch.from_numpy(mask_flow),
+        ).numpy()
+
+    state = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = tfam_params_from_torch(state, num_layers=LAYERS, d_model=D)
+
+    model = TFAM(config=_config(mode, concat_dim, use_pe), num_classes=CLASSES)
+    got = model.apply(
+        {"params": params},
+        jnp.asarray(rgb), jnp.asarray(motion),
+        jnp.asarray(mask_rgb), jnp.asarray(mask_flow),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_tfam_mask_actually_masks():
+    """Changing values at padded positions must not change the logits."""
+    rgb, motion, mask_rgb, mask_flow = _inputs(seed=1)
+    cfg = _config("cross", masked_pooling=True)
+    model = TFAM(config=cfg, num_classes=CLASSES)
+    params = model.init(
+        jax.random.key(0), jnp.asarray(rgb), jnp.asarray(motion),
+        jnp.asarray(mask_rgb), jnp.asarray(mask_flow),
+    )["params"]
+
+    out1 = model.apply({"params": params}, jnp.asarray(rgb), jnp.asarray(motion),
+                       jnp.asarray(mask_rgb), jnp.asarray(mask_flow))
+    rgb2 = rgb.copy()
+    rgb2[~mask_rgb] = 99.0  # poison the pads
+    motion2 = motion.copy()
+    motion2[~mask_flow] = -77.0
+    out2 = model.apply({"params": params}, jnp.asarray(rgb2), jnp.asarray(motion2),
+                       jnp.asarray(mask_rgb), jnp.asarray(mask_flow))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_tfam_unmasked_pooling_sees_pads():
+    """Reference-parity mode pools over pads (AMO_CLIP.py:170): poisoning a
+    pad MUST change the output. Documents the preserved quirk."""
+    rgb, motion, mask_rgb, mask_flow = _inputs(seed=2)
+    cfg = _config("cross", masked_pooling=False)
+    model = TFAM(config=cfg, num_classes=CLASSES)
+    params = model.init(
+        jax.random.key(0), jnp.asarray(rgb), jnp.asarray(motion),
+        jnp.asarray(mask_rgb), jnp.asarray(mask_flow),
+    )["params"]
+    out1 = model.apply({"params": params}, jnp.asarray(rgb), jnp.asarray(motion),
+                       jnp.asarray(mask_rgb), jnp.asarray(mask_flow))
+    rgb2 = rgb.copy()
+    rgb2[~mask_rgb] = 99.0
+    out2 = model.apply({"params": params}, jnp.asarray(rgb2), jnp.asarray(motion),
+                       jnp.asarray(mask_rgb), jnp.asarray(mask_flow))
+    assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-3)
+
+
+def test_tfam_dropout_active_in_training_mode():
+    rgb, motion, mask_rgb, mask_flow = _inputs(seed=3)
+    cfg = _config("cross")
+    model = TFAM(config=cfg, num_classes=CLASSES)
+    args = (jnp.asarray(rgb), jnp.asarray(motion), jnp.asarray(mask_rgb),
+            jnp.asarray(mask_flow))
+    params = model.init(jax.random.key(0), *args)["params"]
+    out_det = model.apply({"params": params}, *args, deterministic=True)
+    out_a = model.apply({"params": params}, *args, deterministic=False,
+                        rngs={"dropout": jax.random.key(1)})
+    out_b = model.apply({"params": params}, *args, deterministic=False,
+                        rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_det))
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))

@@ -1,0 +1,203 @@
+"""TFAM — Temporal Fusion of Appearance and Motion.
+
+Flax re-design of the reference fusion transformer ``AMO_CLIP``
+(/root/reference/TFAM/models/AMO_CLIP.py). Numerics match the reference:
+
+- ``AttentionLayer`` (AMO_CLIP.py:6-51): post-norm block —
+  self-attn -> +residual -> LN, optional cross-attn -> +residual -> LN,
+  FFN(Linear d->ff, ReLU/GELU, Dropout, Linear ff->d, Dropout)
+  -> +residual -> LN. All LayerNorms eps=1e-5 (torch default).
+- Four fusion modes (AMO_CLIP.py:136-167): rgb-only / motion-only self-attn;
+  cross-attention with queries = RGB stream and keys/values = the ORIGINAL
+  motion embeddings at every layer; self-attn over a temporal (concat_dim=1)
+  or channel (concat_dim=-1, 1024->512 projection) concatenation, with RGB
+  truncated by one frame to align with the T-1 motion frames
+  (AMO_CLIP.py:153-154).
+- Optional sinusoidal positional encoding (AMO_CLIP.py:88-97).
+- Classifier head: mean-pool over the sequence — pads INCLUDED, matching the
+  reference's unmasked pooling (AMO_CLIP.py:170) — then
+  LN -> Linear(d->d/2) -> exact GELU -> Dropout(mlp_dropout) -> Linear(d/2->C).
+  ``masked_pooling=True`` enables the fixed (mask-aware) variant.
+
+Masks use the collate convention True = real frame (TFAM/data/dataset.py:89-103);
+inversion to key-padding happens here (AMO_CLIP.py:125-126).
+
+TPU-first notes: the whole forward is static-shape (padded + bucketed
+upstream), so jit compiles one program per length bucket; attention runs
+through vimoclip_tpu.ops.attention (XLA-fused, Pallas flash option); params
+carry the partition rules in vimoclip_tpu.parallel.partition for dp x tp
+meshes.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vimoclip_tpu.config import TFAMModelConfig
+from vimoclip_tpu.ops.attention import MultiHeadAttention
+
+_LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+def sinusoidal_positional_encoding(seq_len: int, d_model: int) -> jax.Array:
+    """Sinusoidal PE table, (seq_len, d_model). Matches AMO_CLIP.py:88-97."""
+    position = jnp.arange(seq_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-jnp.log(10000.0) / d_model)
+    )
+    angles = position * div_term  # (T, d_model/2)
+    pe = jnp.zeros((seq_len, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    return pe
+
+
+class AttentionLayer(nn.Module):
+    """Post-norm transformer block with optional cross-attention."""
+
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "relu"  # reference AttentionLayer default (AMO_CLIP.py:13)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        cross_src: jax.Array | None = None,
+        src_key_padding_mask: jax.Array | None = None,
+        cross_key_padding_mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        drop = lambda t: nn.Dropout(self.dropout, deterministic=deterministic)(t)
+        ln = lambda name: nn.LayerNorm(epsilon=_LN_EPS, name=name)
+
+        attn_out = MultiHeadAttention(
+            self.d_model, self.num_heads, dropout=self.dropout, name="self_attn"
+        )(x, key_padding_mask=src_key_padding_mask, deterministic=deterministic)
+        x = ln("norm_self")(x + drop(attn_out))
+
+        if cross_src is not None:
+            attn_out = MultiHeadAttention(
+                self.d_model, self.num_heads, dropout=self.dropout, name="cross_attn"
+            )(
+                x,
+                kv=cross_src,
+                key_padding_mask=cross_key_padding_mask,
+                deterministic=deterministic,
+            )
+            x = ln("norm_cross")(x + drop(attn_out))
+
+        h = nn.Dense(self.dim_feedforward, name="ffn_dense1")(x)
+        h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
+        h = drop(h)
+        h = nn.Dense(self.d_model, name="ffn_dense2")(h)
+        h = drop(h)
+        x = ln("norm_ffn")(x + drop(h))
+        return x
+
+
+class TFAM(nn.Module):
+    """Fusion transformer over paired RGB / motion embedding sequences."""
+
+    config: TFAMModelConfig
+    num_classes: int = 140
+
+    @nn.compact
+    def __call__(
+        self,
+        rgb_emb: jax.Array,
+        motion_emb: jax.Array,
+        mask_rgb: jax.Array | None = None,
+        mask_flow: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Args use the collate convention: masks True = real frame.
+
+        Returns (B, num_classes) logits.
+        """
+        cfg = self.config
+
+        # Invert validity masks to key-padding masks (AMO_CLIP.py:125-126).
+        attn_rgb = None if mask_rgb is None else ~mask_rgb
+        attn_flow = None if mask_flow is None else ~mask_flow
+
+        if cfg.use_pe:  # AMO_CLIP.py:129-134
+            rgb_emb = rgb_emb + sinusoidal_positional_encoding(
+                rgb_emb.shape[1], cfg.d_model
+            )[None].astype(rgb_emb.dtype)
+            motion_emb = motion_emb + sinusoidal_positional_encoding(
+                motion_emb.shape[1], cfg.d_model
+            )[None].astype(motion_emb.dtype)
+
+        layers = [
+            AttentionLayer(
+                cfg.d_model,
+                cfg.nhead,
+                cfg.dim_feedforward,
+                dropout=cfg.dropout,
+                activation=cfg.activation,
+                name=f"layers_{i}",
+            )
+            for i in range(cfg.num_layers)
+        ]
+
+        pool_mask = None  # True = real; used only when cfg.masked_pooling
+        if cfg.use_only_rgb:
+            x, pool_mask = rgb_emb, mask_rgb
+            for layer in layers:
+                x = layer(x, src_key_padding_mask=attn_rgb, deterministic=deterministic)
+        elif cfg.use_only_flow:
+            x, pool_mask = motion_emb, mask_flow
+            for layer in layers:
+                x = layer(x, src_key_padding_mask=attn_flow, deterministic=deterministic)
+        elif cfg.use_cross_attention:
+            # Queries = RGB stream; keys/values = ORIGINAL motion embeddings
+            # at every layer (AMO_CLIP.py:146-150).
+            x, pool_mask = rgb_emb, mask_rgb
+            for layer in layers:
+                x = layer(
+                    x,
+                    cross_src=motion_emb,
+                    src_key_padding_mask=attn_rgb,
+                    cross_key_padding_mask=attn_flow,
+                    deterministic=deterministic,
+                )
+        else:
+            # Self-attention over a concatenation; RGB drops its last frame to
+            # align with the T-1 motion frames (AMO_CLIP.py:153-154).
+            rgb_emb = rgb_emb[:, :-1, :]
+            attn_rgb = None if attn_rgb is None else attn_rgb[:, :-1]
+            if cfg.concat_dim == 1:  # temporal concat
+                x = jnp.concatenate([rgb_emb, motion_emb], axis=1)
+                attn_mask = (
+                    None
+                    if attn_rgb is None or attn_flow is None
+                    else jnp.concatenate([attn_rgb, attn_flow], axis=1)
+                )
+            elif cfg.concat_dim == -1:  # channel concat + projection
+                x = jnp.concatenate([rgb_emb, motion_emb], axis=-1)
+                x = nn.Dense(cfg.d_model, name="projection_layer")(x)
+                # Reference keeps only the flow mask here (AMO_CLIP.py:160).
+                attn_mask = attn_flow
+            else:
+                raise ValueError(f"concat_dim must be 1 or -1, got {cfg.concat_dim}")
+            pool_mask = None if attn_mask is None else ~attn_mask
+            for layer in layers:
+                x = layer(x, src_key_padding_mask=attn_mask, deterministic=deterministic)
+
+        if cfg.masked_pooling and pool_mask is not None:
+            m = pool_mask[..., None].astype(x.dtype)
+            pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        else:
+            # Reference parity: pads included in the mean (AMO_CLIP.py:170).
+            pooled = jnp.mean(x, axis=1)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, name="classifier_norm")(pooled)
+        h = nn.Dense(cfg.d_model // 2, name="classifier_dense1")(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
+        h = nn.Dropout(cfg.mlp_dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.num_classes, name="classifier_dense2")(h)

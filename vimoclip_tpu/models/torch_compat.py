@@ -1,0 +1,100 @@
+"""Converters from reference PyTorch checkpoints to Flax parameter pytrees.
+
+The reference saves plain ``state_dict`` checkpoints, DataParallel-prefixed
+with ``module.`` (SURVEY.md §5; reference inference.py:80-86). These
+converters are torch-free: they take ``{key: numpy array}`` dicts (obtained
+via ``{k: v.numpy() for k, v in torch.load(...).items()}`` or any
+deserializer) so the TPU framework never imports torch at runtime.
+
+Key mappings (torch ``nn.Linear`` stores (out, in) weights; Flax Dense
+kernels are (in, out), hence the transposes; ``nn.MultiheadAttention`` packs
+q/k/v into ``in_proj_weight`` which is split in thirds):
+
+TFAM (reference TFAM/models/AMO_CLIP.py state dict -> vimoclip_tpu.models.tfam.TFAM):
+    layers.{i}.self_attn.in_proj_weight  -> layers_{i}/self_attn/{q,k,v}_proj/kernel
+    layers.{i}.self_attn.out_proj.*      -> layers_{i}/self_attn/out_proj/*
+    layers.{i}.ffn.0 / ffn.3             -> layers_{i}/ffn_dense1 / ffn_dense2
+    layers.{i}.norm_{self,cross,ffn}     -> layers_{i}/norm_{self,cross,ffn}
+    classifier.0 / 1 / 4                 -> classifier_norm / _dense1 / _dense2
+    projection_layer                     -> projection_layer
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+def strip_prefix(state: Mapping[str, np.ndarray], prefix: str = "module.") -> dict:
+    """Remove DataParallel's ``module.`` prefix (reference checkpoints carry
+    it; loaders re-wrap before load_state_dict, reference inference.py:80-86)."""
+    return {
+        (k[len(prefix):] if k.startswith(prefix) else k): v for k, v in state.items()
+    }
+
+
+def _linear(state, torch_name):
+    return {
+        "kernel": np.ascontiguousarray(state[f"{torch_name}.weight"].T),
+        "bias": np.asarray(state[f"{torch_name}.bias"]),
+    }
+
+
+def _layernorm(state, torch_name):
+    return {
+        "scale": np.asarray(state[f"{torch_name}.weight"]),
+        "bias": np.asarray(state[f"{torch_name}.bias"]),
+    }
+
+
+def _mha(state, torch_name, embed_dim):
+    w = np.asarray(state[f"{torch_name}.in_proj_weight"])  # (3E, E)
+    b = np.asarray(state[f"{torch_name}.in_proj_bias"])  # (3E,)
+    qw, kw, vw = w[:embed_dim], w[embed_dim : 2 * embed_dim], w[2 * embed_dim :]
+    qb, kb, vb = b[:embed_dim], b[embed_dim : 2 * embed_dim], b[2 * embed_dim :]
+    return {
+        "q_proj": {"kernel": np.ascontiguousarray(qw.T), "bias": qb},
+        "k_proj": {"kernel": np.ascontiguousarray(kw.T), "bias": kb},
+        "v_proj": {"kernel": np.ascontiguousarray(vw.T), "bias": vb},
+        "out_proj": _linear(state, f"{torch_name}.out_proj"),
+    }
+
+
+def tfam_params_from_torch(
+    state: Mapping[str, np.ndarray],
+    num_layers: int = 4,
+    d_model: int = 512,
+) -> dict:
+    """Convert a reference AMO_CLIP state dict into TFAM Flax params."""
+    state = strip_prefix(dict(state))
+    params: dict = {}
+    for i in range(num_layers):
+        t = f"layers.{i}"
+        layer = {
+            "self_attn": _mha(state, f"{t}.self_attn", d_model),
+            "ffn_dense1": _linear(state, f"{t}.ffn.0"),
+            "ffn_dense2": _linear(state, f"{t}.ffn.3"),
+            "norm_self": _layernorm(state, f"{t}.norm_self"),
+            "norm_ffn": _layernorm(state, f"{t}.norm_ffn"),
+        }
+        if f"{t}.cross_attn.in_proj_weight" in state:
+            layer["cross_attn"] = _mha(state, f"{t}.cross_attn", d_model)
+            layer["norm_cross"] = _layernorm(state, f"{t}.norm_cross")
+        params[f"layers_{i}"] = layer
+
+    params["classifier_norm"] = _layernorm(state, "classifier.0")
+    params["classifier_dense1"] = _linear(state, "classifier.1")
+    params["classifier_dense2"] = _linear(state, "classifier.4")
+    if "projection_layer.weight" in state:
+        params["projection_layer"] = _linear(state, "projection_layer")
+    return params
+
+
+def residual_mlp_params_from_torch(state: Mapping[str, np.ndarray], prefix: str = "residual_mlp") -> dict:
+    """ResidualMLP (reference models/student_model.py:8-35): fc1, fc2."""
+    state = strip_prefix(dict(state))
+    return {
+        "fc1": _linear(state, f"{prefix}.fc1"),
+        "fc2": _linear(state, f"{prefix}.fc2"),
+    }

@@ -1,0 +1,125 @@
+"""Masked multi-head attention with ``torch.nn.MultiheadAttention`` numerics.
+
+The reference's TFAM attends over whole padded videos with key-padding masks
+(/root/reference/TFAM/models/AMO_CLIP.py:37-51,118-126), and its CLIP visual
+encoder uses standard MHA. This module is the single attention implementation
+shared by both, written so XLA keeps the QK^T -> softmax -> PV chain fused and
+batched on the MXU:
+
+- scale = 1/sqrt(head_dim) applied to Q (torch semantics),
+- key-padding mask adds a large negative to masked key columns,
+- attention-weight dropout (train only),
+- separate q/k/v projections whose weights are the split of torch's packed
+  ``in_proj_weight`` (the converter in models/torch_compat.py does the split).
+
+A fused Pallas flash-attention kernel (vimoclip_tpu.ops.pallas) can be
+swapped in via ``implementation="flash"`` for long sequences; the XLA path is
+the reference-numerics default.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# Additive mask value. Large-finite (not -inf) so fully-masked rows produce a
+# uniform distribution instead of NaN (torch produces NaN there; such rows
+# never occur in the pipeline because every video has >= 1 real frame, and
+# finite masking keeps gradients clean).
+_MASK_VALUE = -1e9
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: jax.Array | None = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: jax.Array | None = None,
+    precision=None,
+) -> jax.Array:
+    """Scaled dot-product attention.
+
+    Args:
+        q: (B, H, Tq, Dh) queries.
+        k: (B, H, Tk, Dh) keys.
+        v: (B, H, Tk, Dh) values.
+        key_padding_mask: optional (B, Tk) boolean, True = IGNORE this key
+            (torch ``key_padding_mask`` convention — callers holding
+            "True = real" validity masks invert before calling, mirroring
+            reference AMO_CLIP.py:125-126).
+    Returns:
+        (B, H, Tq, Dh) attention output.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=q.dtype))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask[:, None, None, :], _MASK_VALUE, 0.0)
+        scores = scores + bias.astype(scores.dtype)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required for non-deterministic attention")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=precision)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch-compatible MHA: q/k/v/out projections with bias, attention
+    dropout, key-padding masking.
+
+    Parameter layout (for the partition rules in vimoclip_tpu.parallel and
+    the torch converters): ``q_proj``, ``k_proj``, ``v_proj``, ``out_proj``
+    Dense kernels of shape (embed, embed) = torch ``in_proj_weight`` splits
+    transposed.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        kv: jax.Array | None = None,
+        key_padding_mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if self.embed_dim % self.num_heads:
+            raise ValueError(
+                f"embed_dim {self.embed_dim} not divisible by heads {self.num_heads}"
+            )
+        kv = x if kv is None else kv
+        head_dim = self.embed_dim // self.num_heads
+        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+
+        def split_heads(t):  # (B, T, E) -> (B, H, T, Dh)
+            b, s, _ = t.shape
+            return t.reshape(b, s, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = split_heads(dense("q_proj")(x))
+        k = split_heads(dense("k_proj")(kv))
+        v = split_heads(dense("v_proj")(kv))
+
+        dropout_rng = None
+        if self.dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            key_padding_mask=key_padding_mask,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            dropout_rng=dropout_rng,
+        )
+        b, _, s, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, self.embed_dim)
+        return dense("out_proj")(out)
