@@ -1,0 +1,127 @@
+"""Parity tests for on-device preprocessing vs the reference's host-side
+tools: HF CLIPImageProcessor (PIL bicubic) and OpenCV gray/absdiff."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vimoclip_tpu.ops.preprocess import (
+    CLIP_MEAN,
+    CLIP_STD,
+    center_crop,
+    clip_preprocess,
+    frame_diff,
+    normalize,
+    resize_shortest_edge,
+    rgb_to_gray,
+)
+
+
+def _smooth_image(seed, h=360, w=640):
+    rng = np.random.default_rng(seed)
+    low = rng.integers(0, 256, (h // 30, w // 32, 3)).astype(np.uint8)
+    return cv2.resize(low, (w, h), interpolation=cv2.INTER_CUBIC).astype(np.uint8)
+
+
+def test_clip_preprocess_matches_hf_processor():
+    from transformers import CLIPImageProcessor
+
+    proc = CLIPImageProcessor(crop_size=224, size={"shortest_edge": 224})
+    img = _smooth_image(0)
+    ref = proc(images=[img], return_tensors="np")["pixel_values"][0]  # (3,224,224)
+    got = np.asarray(clip_preprocess(img[None]))[0].transpose(2, 0, 1)
+    assert np.abs(ref - got).mean() < 0.01
+    assert np.abs(ref - got).max() < 0.1  # PIL vs XLA bicubic edge effects
+
+
+def test_resize_shortest_edge_geometry():
+    img = np.zeros((2, 360, 640, 3), dtype=np.uint8)
+    out = resize_shortest_edge(jnp.asarray(img), 224)
+    assert out.shape == (2, 224, 398, 3)  # round(640*224/360)=398
+    tall = np.zeros((1, 640, 360, 3), dtype=np.uint8)
+    assert resize_shortest_edge(jnp.asarray(tall), 224).shape == (1, 398, 224, 3)
+
+
+def test_center_crop_offsets():
+    x = jnp.arange(5 * 6, dtype=jnp.float32).reshape(1, 5, 6, 1)
+    out = center_crop(x, 4)
+    # top=round(0.5)=0 (banker's) -> rows 0..3; left=round(1.0)=1 -> cols 1..4
+    np.testing.assert_array_equal(
+        np.asarray(out)[0, :, :, 0], np.asarray(x)[0, 0:4, 1:5, 0]
+    )
+    with pytest.raises(ValueError):
+        center_crop(x, 7)
+
+
+def test_normalize_formula():
+    x = jnp.full((1, 2, 2, 3), 255.0)
+    out = np.asarray(normalize(x))
+    expect = (1.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    np.testing.assert_allclose(out[0, 0, 0], expect, rtol=1e-5)
+
+
+def test_rgb_to_gray_matches_cv2():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (4, 48, 64, 3), dtype=np.uint8)
+    got = np.asarray(rgb_to_gray(jnp.asarray(img)))
+    ref = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in img])
+    # cv2 uses fixed-point arithmetic; allow off-by-one on rounding boundaries
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_frame_diff_matches_cv2():
+    rng = np.random.default_rng(2)
+    vid = rng.integers(0, 256, (5, 32, 40, 3), dtype=np.uint8)
+    got = np.asarray(frame_diff(jnp.asarray(vid), replicate_channels=False))
+    gray = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in vid])
+    ref = np.stack([cv2.absdiff(gray[i + 1], gray[i]) for i in range(4)])
+    assert got.shape == (4, 32, 40)
+    # gray off-by-one can make diff off by up to 2
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 2
+    assert (got.astype(int) != ref.astype(int)).mean() < 0.02
+
+    rep = np.asarray(frame_diff(jnp.asarray(vid)))
+    assert rep.shape == (4, 32, 40, 3)
+    np.testing.assert_array_equal(rep[..., 0], got)
+    np.testing.assert_array_equal(rep[..., 1], got)
+
+
+def test_preprocess_then_encoder_embedding_parity():
+    """End-to-end: uint8 frames -> on-device preprocess -> ClipVisionEncoder
+    vs HF processor -> HF CLIP. Embedding cosine must be ~1."""
+    import torch
+    from transformers import CLIPImageProcessor, CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+    from vimoclip_tpu.models.clip_convert import clip_vision_params_from_hf
+
+    torch.manual_seed(3)
+    hf_cfg = HFConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=224, patch_size=32, projection_dim=32,
+    )
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+    proc = CLIPImageProcessor(crop_size=224, size={"shortest_edge": 224})
+
+    frames = np.stack([_smooth_image(s) for s in range(3)])
+    with torch.no_grad():
+        px = proc(images=list(frames), return_tensors="pt")["pixel_values"]
+        ref = hf(px).image_embeds.numpy()
+
+    cfg = ClipVisionConfig(
+        image_size=224, patch_size=32, hidden_size=64, num_layers=2,
+        num_heads=4, intermediate_size=128, projection_dim=32,
+    )
+    params = clip_vision_params_from_hf(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg
+    )
+    pixels = clip_preprocess(jnp.asarray(frames))
+    got = np.asarray(ClipVisionEncoder(cfg).apply({"params": params}, pixels))
+
+    cos = (ref * got).sum(-1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1)
+    )
+    assert cos.min() > 0.9995, cos

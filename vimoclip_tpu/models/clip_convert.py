@@ -1,0 +1,149 @@
+"""Weight converters: HF / OpenAI CLIP checkpoints -> ClipVisionEncoder params.
+
+Two serialization formats exist for the same weights (SURVEY.md §2.2 — the
+reference loads HF ``CLIPModel`` for teachers and OpenAI ``clip.load`` for
+the student backbone):
+
+1. **HF transformers** (``CLIPModel`` / ``CLIPVisionModelWithProjection``):
+   ``vision_model.embeddings.*``, ``vision_model.encoder.layers.{i}.*`` with
+   separate q/k/v projections, typo'd ``pre_layrnorm``, and a
+   ``visual_projection.weight`` Linear.
+2. **OpenAI clip** (``model.visual.*`` inside the jit archive): packed
+   ``attn.in_proj_weight``, ``mlp.c_fc``/``c_proj``, and a raw ``proj``
+   matrix applied as ``x @ proj`` (no transpose).
+
+Both converters are torch-free: input is ``{key: np.ndarray}``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from vimoclip_tpu.models.clip_vit import ClipVisionConfig
+
+
+def _t(w):  # torch Linear weight (out, in) -> flax kernel (in, out)
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _ln(state, name):
+    return {"scale": np.asarray(state[f"{name}.weight"]),
+            "bias": np.asarray(state[f"{name}.bias"])}
+
+
+def _lin(state, name):
+    return {"kernel": _t(state[f"{name}.weight"]),
+            "bias": np.asarray(state[f"{name}.bias"])}
+
+
+def clip_vision_params_from_hf(
+    state: Mapping[str, np.ndarray], config: ClipVisionConfig
+) -> dict:
+    """Convert an HF CLIP(Vision)Model state dict (numpy values)."""
+    s = dict(state)
+    # Accept both CLIPModel ("vision_model. ...") and bare vision-model dumps.
+    if not any(k.startswith("vision_model.") for k in s):
+        s = {f"vision_model.{k}": v for k, v in s.items() if not k.startswith("visual_projection")} | {
+            k: v for k, v in s.items() if k.startswith("visual_projection")
+        }
+
+    emb = "vision_model.embeddings"
+    params: dict = {
+        "class_embedding": np.asarray(s[f"{emb}.class_embedding"]),
+        "position_embedding": np.asarray(s[f"{emb}.position_embedding.weight"]),
+        # torch conv weight (E, 3, p, p) -> flax NHWC kernel (p, p, 3, E)
+        "patch_embedding": {
+            "kernel": np.ascontiguousarray(
+                np.transpose(np.asarray(s[f"{emb}.patch_embedding.weight"]), (2, 3, 1, 0))
+            )
+        },
+        # HF ships the typo'd name "pre_layrnorm"
+        "pre_layernorm": _ln(s, "vision_model.pre_layrnorm"),
+        "post_layernorm": _ln(s, "vision_model.post_layernorm"),
+        "visual_projection": {"kernel": _t(s["visual_projection.weight"])},
+    }
+    for i in range(config.num_layers):
+        t = f"vision_model.encoder.layers.{i}"
+        params[f"layers_{i}"] = {
+            "layer_norm1": _ln(s, f"{t}.layer_norm1"),
+            "layer_norm2": _ln(s, f"{t}.layer_norm2"),
+            "attn": {
+                "q_proj": _lin(s, f"{t}.self_attn.q_proj"),
+                "k_proj": _lin(s, f"{t}.self_attn.k_proj"),
+                "v_proj": _lin(s, f"{t}.self_attn.v_proj"),
+                "out_proj": _lin(s, f"{t}.self_attn.out_proj"),
+            },
+            "mlp_fc1": _lin(s, f"{t}.mlp.fc1"),
+            "mlp_fc2": _lin(s, f"{t}.mlp.fc2"),
+        }
+    return params
+
+
+def clip_vision_params_from_openai(
+    state: Mapping[str, np.ndarray], config: ClipVisionConfig
+) -> dict:
+    """Convert an OpenAI ``clip`` package state dict (``visual.*`` keys,
+    numpy values) — the format of the reference student's backbone
+    (models/student_model.py:44)."""
+    s = {k[len("visual."):]: v for k, v in state.items() if k.startswith("visual.")}
+    e = config.hidden_size
+    params: dict = {
+        "class_embedding": np.asarray(s["class_embedding"]),
+        "position_embedding": np.asarray(s["positional_embedding"]),
+        "patch_embedding": {
+            "kernel": np.ascontiguousarray(
+                np.transpose(np.asarray(s["conv1.weight"]), (2, 3, 1, 0))
+            )
+        },
+        "pre_layernorm": {"scale": np.asarray(s["ln_pre.weight"]),
+                          "bias": np.asarray(s["ln_pre.bias"])},
+        "post_layernorm": {"scale": np.asarray(s["ln_post.weight"]),
+                           "bias": np.asarray(s["ln_post.bias"])},
+        # OpenAI applies x @ proj directly: already (E, projection_dim)
+        "visual_projection": {"kernel": np.asarray(s["proj"])},
+    }
+    for i in range(config.num_layers):
+        t = f"transformer.resblocks.{i}"
+        w = np.asarray(s[f"{t}.attn.in_proj_weight"])  # (3E, E)
+        b = np.asarray(s[f"{t}.attn.in_proj_bias"])
+        params[f"layers_{i}"] = {
+            "layer_norm1": {"scale": np.asarray(s[f"{t}.ln_1.weight"]),
+                            "bias": np.asarray(s[f"{t}.ln_1.bias"])},
+            "layer_norm2": {"scale": np.asarray(s[f"{t}.ln_2.weight"]),
+                            "bias": np.asarray(s[f"{t}.ln_2.bias"])},
+            "attn": {
+                "q_proj": {"kernel": _t(w[:e]), "bias": b[:e]},
+                "k_proj": {"kernel": _t(w[e:2*e]), "bias": b[e:2*e]},
+                "v_proj": {"kernel": _t(w[2*e:]), "bias": b[2*e:]},
+                "out_proj": {"kernel": _t(s[f"{t}.attn.out_proj.weight"]),
+                             "bias": np.asarray(s[f"{t}.attn.out_proj.bias"])},
+            },
+            "mlp_fc1": {"kernel": _t(s[f"{t}.mlp.c_fc.weight"]),
+                        "bias": np.asarray(s[f"{t}.mlp.c_fc.bias"])},
+            "mlp_fc2": {"kernel": _t(s[f"{t}.mlp.c_proj.weight"]),
+                        "bias": np.asarray(s[f"{t}.mlp.c_proj.bias"])},
+        }
+    return params
+
+
+def config_from_hf_state(state: Mapping[str, np.ndarray]) -> ClipVisionConfig:
+    """Infer a ClipVisionConfig from an HF state dict's shapes."""
+    s = dict(state)
+    patch_w = np.asarray(s["vision_model.embeddings.patch_embedding.weight"])
+    hidden, _, patch, _ = patch_w.shape
+    n_pos = np.asarray(s["vision_model.embeddings.position_embedding.weight"]).shape[0]
+    image = int(round((n_pos - 1) ** 0.5)) * patch
+    n_layers = 1 + max(
+        int(k.split(".")[3]) for k in s if k.startswith("vision_model.encoder.layers.")
+    )
+    inter = np.asarray(s["vision_model.encoder.layers.0.mlp.fc1.weight"]).shape[0]
+    proj = np.asarray(s["visual_projection.weight"]).shape[0]
+    # CLIP ViT-B uses 12 heads at width 768; heads = hidden // 64 holds for
+    # every released CLIP ViT.
+    return ClipVisionConfig(
+        image_size=image, patch_size=patch, hidden_size=hidden,
+        num_layers=n_layers, num_heads=hidden // 64,
+        intermediate_size=inter, projection_dim=proj,
+    )
