@@ -1,0 +1,293 @@
+"""HDF5 embedding storage — the contract between pipeline stages.
+
+The reference's stages communicate exclusively through HDF5 files
+(SURVEY.md §1): per-video groups holding ``embeddings`` (T, D) and
+``labels`` (C,), with per-file attrs. Two layouts exist:
+
+- **AK layout** (extract_embeddings.py:50-119): flat groups keyed by
+  ``<video_id>`` (with extension), gzip chunks (1, D), group attrs
+  ``total_frames``/``original_frames``, file attrs ``num_classes``/
+  ``dataset_name``/``type``/``clip_model``, plus a top-level ``video_ids``
+  string dataset.
+- **MN layout** (extract_embeddings_mammalNet.py:108-141): groups nested
+  under ``trimmed_videos/``, **resizable** embeddings (maxshape=(None, D),
+  chunked (batch, D)) appended incrementally.
+
+This module reads/writes both, and provides the resumable streaming writer
+(equivalent of inference_frame_diff.py:235-312: resize-append + flush,
+skip-existing resume, error attrs) the motion-embedding exporter uses. The
+writer is host-side and decoupled from the TPU step — at 10x extraction
+throughput HDF5 becomes the bottleneck if it shares the hot loop
+(SURVEY.md §7 "hard parts"), so the export pipeline runs it on a writer
+thread fed by a queue.
+
+``analyze_structure``/``compare_structures`` reimplement the reference's
+validation tool (utils/h5_structure_checker.py) as library functions.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator
+
+import h5py
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Reading
+# ---------------------------------------------------------------------------
+
+def list_video_keys(path: str, nested_prefix: str | None = None) -> list[str]:
+    """Video group keys. ``nested_prefix`` handles the MN layout
+    (``trimmed_videos/<id>``, dataset_frame_diff_mn.py:42)."""
+    with h5py.File(path, "r") as f:
+        root = f[nested_prefix] if nested_prefix else f
+        return [k for k in root.keys() if isinstance(root[k], h5py.Group)]
+
+
+def read_embeddings(path: str, video_id: str, start: int = 0, stop: int | None = None) -> np.ndarray:
+    with h5py.File(path, "r") as f:
+        ds = f[video_id]["embeddings"]
+        return ds[start:stop] if stop is not None else ds[start:]
+
+
+def read_labels(path: str, video_id: str) -> np.ndarray:
+    with h5py.File(path, "r") as f:
+        return f[video_id]["labels"][:]
+
+
+def sequence_lengths(path: str, nested_prefix: str | None = None) -> dict[str, int]:
+    """{video_id: T} from dataset shapes without reading data (the segment
+    index builder needs only this, reference dataset.py:33-57)."""
+    with h5py.File(path, "r") as f:
+        root = f[nested_prefix] if nested_prefix else f
+        out = {}
+        for k in root.keys():
+            if isinstance(root[k], h5py.Group) and "embeddings" in root[k]:
+                out[k] = int(root[k]["embeddings"].shape[0])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Writing
+# ---------------------------------------------------------------------------
+
+class EmbeddingWriter:
+    """Writer for both reference layouts with resumable streaming appends.
+
+    Example (extraction pipeline)::
+
+        with EmbeddingWriter(path, num_classes=140, dataset_name="AnimalKingdom",
+                             split="train", clip_model="ViT-B/16") as w:
+            for vid, emb, labels in results:
+                w.write_video(vid, emb, labels, original_frames=T)
+    """
+
+    def __init__(
+        self,
+        path: str,
+        num_classes: int | None = None,
+        dataset_name: str = "AnimalKingdom",
+        split: str = "val",
+        clip_model: str = "ViT-B/16",
+        mode: str = "w",
+        compression: str | None = "gzip",
+        nested_prefix: str | None = None,
+        embed_dim: int = 512,
+        chunk_rows: int = 1,
+    ):
+        self._file = h5py.File(path, mode)
+        self.compression = compression
+        self.embed_dim = embed_dim
+        self.chunk_rows = chunk_rows
+        self._video_ids: list[str] = []
+        self.root = (
+            self._file.require_group(nested_prefix) if nested_prefix else self._file
+        )
+        if mode == "w" or "num_classes" not in self._file.attrs:
+            # Global attrs per extract_embeddings.py:52-55.
+            if num_classes is not None:
+                self._file.attrs["num_classes"] = num_classes
+            self._file.attrs["dataset_name"] = dataset_name
+            self._file.attrs["type"] = split
+            self._file.attrs["clip_model"] = clip_model
+
+    # -- whole-video write (AK extractor layout) ---------------------------
+    def write_video(
+        self,
+        video_id: str,
+        embeddings: np.ndarray,
+        labels: np.ndarray | None = None,
+        original_frames: int | None = None,
+    ) -> None:
+        g = self.root.create_group(video_id)
+        g.create_dataset(
+            "embeddings",
+            data=np.asarray(embeddings, dtype=np.float32),
+            compression=self.compression,
+            chunks=(min(self.chunk_rows, max(1, len(embeddings))), embeddings.shape[1]),
+        )
+        if labels is not None:
+            g.create_dataset("labels", data=np.asarray(labels, dtype=np.float32))
+        g.attrs["total_frames"] = len(embeddings)
+        g.attrs["original_frames"] = (
+            original_frames if original_frames is not None else len(embeddings)
+        )
+        self._video_ids.append(video_id)
+
+    # -- streaming write (MN extractor / exporter layout) ------------------
+    def has_video(self, video_id: str) -> bool:
+        """Resume support: skip already-written groups
+        (inference_frame_diff.py:253-256,374-376)."""
+        return video_id in self.root
+
+    def open_stream(self, video_id: str, chunk_rows: int = 2048) -> "_StreamingVideo":
+        g = self.root.create_group(video_id)
+        ds = g.create_dataset(
+            "embeddings",
+            shape=(0, self.embed_dim),
+            maxshape=(None, self.embed_dim),
+            dtype=np.float32,
+            compression=self.compression,
+            chunks=(chunk_rows, self.embed_dim),
+        )
+        self._video_ids.append(video_id)
+        return _StreamingVideo(self._file, g, ds)
+
+    def annotate_error(self, video_id: str, error: str, key: str = "error") -> None:
+        """Persist a per-video failure without aborting the run
+        (inference_frame_diff.py:391-407)."""
+        g = self.root.require_group(video_id)
+        g.attrs[key] = error
+
+    def close(self) -> None:
+        if self._video_ids and "video_ids" not in self._file:
+            self._file.create_dataset(
+                "video_ids",
+                data=np.array(self._video_ids, dtype=h5py.string_dtype()),
+            )
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class _StreamingVideo:
+    """Resize-append handle for one video's embeddings."""
+
+    def __init__(self, file: h5py.File, group: h5py.Group, ds: h5py.Dataset):
+        self._file, self._group, self._ds = file, group, ds
+
+    def append(self, chunk: np.ndarray) -> None:
+        chunk = np.asarray(chunk, dtype=np.float32)
+        n = self._ds.shape[0]
+        self._ds.resize(n + len(chunk), axis=0)
+        self._ds[n:] = chunk
+        self._file.flush()
+
+    def finalize(self, labels: np.ndarray | None = None, original_frames: int | None = None) -> None:
+        if labels is not None:
+            self._group.create_dataset("labels", data=np.asarray(labels, np.float32))
+        t = self._ds.shape[0]
+        self._group.attrs["total_frames"] = t
+        self._group.attrs["original_frames"] = original_frames or t
+
+
+class AsyncWriter:
+    """Run an EmbeddingWriter on its own thread so HDF5/gzip never blocks the
+    device step (SURVEY.md §7: writer decoupled from the TPU step)."""
+
+    _DONE = object()
+
+    def __init__(self, writer: EmbeddingWriter, max_queue: int = 16):
+        self.writer = writer
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._error: Exception | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            try:
+                self.writer.write_video(*item)
+            except Exception as e:  # surfaced on submit/close
+                self._error = e
+
+    def submit(self, video_id, embeddings, labels=None, original_frames=None):
+        if self._error:
+            raise self._error
+        self._q.put((video_id, embeddings, labels, original_frames))
+
+    def close(self):
+        self._q.put(self._DONE)
+        self._thread.join()
+        self.writer.close()
+        if self._error:
+            raise self._error
+
+
+# ---------------------------------------------------------------------------
+# Structure validation (library form of utils/h5_structure_checker.py)
+# ---------------------------------------------------------------------------
+
+def _group_structure(g: h5py.Group) -> dict[str, Any]:
+    datasets = {k: v for k, v in g.items() if isinstance(v, h5py.Dataset)}
+    subgroups = [k for k, v in g.items() if isinstance(v, h5py.Group)]
+    return {
+        "dataset_names": sorted(datasets),
+        "dataset_dtypes": {k: str(v.dtype) for k, v in datasets.items()},
+        "dataset_ndims": {k: v.ndim for k, v in datasets.items()},
+        "num_datasets": len(datasets),
+        "has_subgroups": bool(subgroups),
+        "subgroup_names": sorted(subgroups),
+    }
+
+
+def analyze_structure(path: str) -> dict[str, Any]:
+    """Structural fingerprint of an embeddings HDF5 file."""
+    with h5py.File(path, "r") as f:
+        groups = [k for k, v in f.items() if isinstance(v, h5py.Group)]
+        root_datasets = [k for k, v in f.items() if isinstance(v, h5py.Dataset)]
+        sample = _group_structure(f[groups[0]]) if groups else None
+        consistent = all(
+            _group_structure(f[g]) == sample for g in groups[1:]
+        ) if groups else True
+        return {
+            "path": path,
+            "num_groups": len(groups),
+            "num_datasets": len(root_datasets),
+            "root_dataset_names": sorted(root_datasets),
+            "file_attrs": sorted(f.attrs),
+            "all_groups_same_structure": consistent,
+            "sample_group_structure": sample,
+        }
+
+
+def compare_structures(a: dict[str, Any], b: dict[str, Any]) -> tuple[bool, list[str]]:
+    """True + [] if two files share the structural pattern; else the issue
+    list (h5_structure_checker.py:97-147 semantics, returned instead of
+    printed)."""
+    issues = []
+    if a["num_datasets"] != b["num_datasets"]:
+        issues.append(
+            f"root-level dataset count differs: {a['num_datasets']} vs {b['num_datasets']}"
+        )
+    if a["all_groups_same_structure"] != b["all_groups_same_structure"]:
+        issues.append("group structure consistency differs")
+    sa, sb = a["sample_group_structure"], b["sample_group_structure"]
+    if (sa is None) != (sb is None):
+        issues.append("one file has groups while the other doesn't")
+    elif sa is not None:
+        for field in ("dataset_names", "dataset_dtypes", "num_datasets",
+                      "has_subgroups", "subgroup_names"):
+            if sa[field] != sb[field]:
+                issues.append(f"group {field} differs: {sa[field]} vs {sb[field]}")
+    return (not issues, issues)

@@ -1,0 +1,126 @@
+"""ctypes bindings for the C++ libav data plane (``vimo_dataplane``).
+
+The reference outsources decode to decord/PyAV C++ wheels (SURVEY.md §2.2).
+Here the native decoder is in-repo: ``native/dataplane.cc`` builds
+``libvimo_dataplane.so`` (FFmpeg libavformat/libavcodec/libswscale), exposing
+batched whole-video decode and exact-window seek decode into caller-owned
+uint8 RGB buffers. Falls back cleanly (``available() -> False``) when the
+library hasn't been built — OpenCV then serves as the decode backend
+(vimoclip_tpu.data.video_reader).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libvimo_dataplane.so",
+    )
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.vimo_open.restype = ctypes.c_void_p
+    lib.vimo_open.argtypes = [ctypes.c_char_p]
+    lib.vimo_close.argtypes = [ctypes.c_void_p]
+    lib.vimo_frame_count.restype = ctypes.c_long
+    lib.vimo_frame_count.argtypes = [ctypes.c_void_p]
+    lib.vimo_dims.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vimo_read_window.restype = ctypes.c_long
+    lib.vimo_read_window.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_void_p,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class _Decoder:
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native data plane not built")
+        self._lib = lib
+        self._h = lib.vimo_open(path.encode())
+        if not self._h:
+            raise IOError(f"native decoder could not open {path}")
+        w, h = ctypes.c_int(), ctypes.c_int()
+        lib.vimo_dims(self._h, ctypes.byref(w), ctypes.byref(h))
+        self.width, self.height = w.value, h.value
+
+    def frame_count(self) -> int:
+        return int(self._lib.vimo_frame_count(self._h))
+
+    def read_window(self, start: int, num: int) -> np.ndarray:
+        buf = np.empty((num, self.height, self.width, 3), dtype=np.uint8)
+        got = self._lib.vimo_read_window(
+            self._h, start, num, buf.ctypes.data_as(ctypes.c_void_p)
+        )
+        if got < 0:
+            raise IOError(f"native decode failed (code {got})")
+        return buf[:got]
+
+    def close(self):
+        if self._h:
+            self._lib.vimo_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def read_video(path: str, max_frames: int | None = None) -> np.ndarray:
+    d = _Decoder(path)
+    try:
+        n = d.frame_count()
+        if max_frames is not None:
+            n = min(n, max_frames)
+        if n <= 0:
+            n = 1 << 16  # unknown count: read until EOF cap
+        out = d.read_window(0, n)
+        if out.shape[0] == 0:
+            raise IOError(f"no frames decoded from {path}")
+        return out
+    finally:
+        d.close()
+
+
+def read_video_window(path: str, start: int, num_frames: int) -> np.ndarray:
+    d = _Decoder(path)
+    try:
+        out = d.read_window(start, num_frames)
+        if out.shape[0] == 0:
+            raise IOError(f"no frames decoded from {path} at {start}")
+        return out
+    finally:
+        d.close()
