@@ -1,0 +1,130 @@
+"""Tests for the motion-embedding exporter (streaming, resume, error attrs)
+and the offline motion-video generators."""
+
+import os
+
+import cv2
+import h5py
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vimoclip_tpu.data.video_reader import read_video, write_video
+from vimoclip_tpu.export import (
+    LowMemoryError,
+    MotionEmbeddingExporter,
+    find_motion_videos,
+    memory_guard,
+)
+from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+from vimoclip_tpu.motion import (
+    generate_frame_diff_video,
+    generate_optical_flow_video,
+    process_video_list,
+)
+from vimoclip_tpu.ops.preprocess import clip_preprocess
+
+CFG = ClipVisionConfig(
+    image_size=32, patch_size=8, hidden_size=32, num_layers=1,
+    num_heads=2, intermediate_size=64, projection_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def videos(tmp_path_factory):
+    root = tmp_path_factory.mktemp("motion_videos")
+    rng = np.random.default_rng(0)
+    for vid, t in [("x.mp4", 7), ("y.mp4", 12)]:
+        write_video(str(root / vid), rng.integers(0, 256, (t, 36, 64, 3), dtype=np.uint8))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def params():
+    p = ClipVisionEncoder(CFG).init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+    )["params"]
+    return {"visual_encoder": p}
+
+
+def test_find_motion_videos(videos):
+    assert [os.path.basename(p) for p in find_motion_videos(videos)] == ["x.mp4", "y.mp4"]
+
+
+def test_export_matches_direct_forward(videos, params, tmp_path):
+    out = str(tmp_path / "motion.h5")
+    exp = MotionEmbeddingExporter(params, CFG, chunk_size=5, half_precision=False)
+    counts = exp.export(find_motion_videos(videos), out)
+    assert counts == {"processed": 2, "skipped": 0, "errors": 0}
+
+    enc = ClipVisionEncoder(CFG)
+    with h5py.File(out, "r") as f:
+        for vid in ("x", "y"):
+            emb = f[vid]["embeddings"][:]
+            frames = read_video(os.path.join(videos, f"{vid}.mp4"))
+            ref = np.asarray(
+                enc.apply({"params": params["visual_encoder"]},
+                          clip_preprocess(jnp.asarray(frames), 32))
+            )
+            assert emb.shape == ref.shape
+            np.testing.assert_allclose(emb, ref, rtol=1e-4, atol=1e-5)
+            assert f[vid].attrs["complete"]
+            assert f[vid]["embeddings"].compression == "lzf"
+
+
+def test_export_resume_and_errors(videos, params, tmp_path):
+    out = str(tmp_path / "motion.h5")
+    bad = tmp_path / "bad.mp4"
+    bad.write_bytes(b"garbage")
+    exp = MotionEmbeddingExporter(params, CFG, chunk_size=5, half_precision=False)
+    counts = exp.export(find_motion_videos(videos) + [str(bad)], out)
+    assert counts["processed"] == 2 and counts["errors"] == 1
+    with h5py.File(out, "r") as f:
+        assert "error" in f["bad"].attrs
+        assert not f["bad"].attrs["complete"]
+    # resume: good videos skipped, bad retried (still failing)
+    counts2 = exp.export(find_motion_videos(videos) + [str(bad)], out)
+    assert counts2 == {"processed": 0, "skipped": 2, "errors": 1}
+
+
+def test_memory_guard():
+    memory_guard(0.0)  # always passes
+    with pytest.raises(LowMemoryError):
+        memory_guard(float("inf"))
+
+
+def test_generate_frame_diff_video(videos, tmp_path):
+    src = os.path.join(videos, "x.mp4")
+    dst_dev = str(tmp_path / "diff_dev.mp4")
+    dst_host = str(tmp_path / "diff_host.mp4")
+    n1 = generate_frame_diff_video(src, dst_dev, on_device=True)
+    n2 = generate_frame_diff_video(src, dst_host, on_device=False)
+    assert n1 == n2 == 6  # 7 frames -> 6 diffs
+    a = read_video(dst_dev)
+    b = read_video(dst_host)
+    assert a.shape == b.shape == (6, 36, 64, 3)
+    # both encodings of the (nearly) identical diff signal
+    assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
+
+
+def test_generate_optical_flow_video(videos, tmp_path):
+    src = os.path.join(videos, "y.mp4")
+    dst = str(tmp_path / "flow.mp4")
+    n = generate_optical_flow_video(src, dst)
+    assert n == 11
+    v = read_video(dst)
+    assert v.shape == (11, 36, 64, 3)
+
+
+def test_process_video_list(videos, tmp_path):
+    lst = tmp_path / "list.txt"
+    lst.write_text("x.mp4\ny.mp4\nmissing.mp4\n")
+    out_dir = str(tmp_path / "diffs")
+    errors = process_video_list(str(lst), videos, out_dir, kind="frame_diff")
+    assert set(errors) == {"missing.mp4"}
+    assert sorted(os.listdir(out_dir)) == ["x.mp4", "y.mp4"]
+    # skip_existing: second run does nothing and keeps files
+    errors2 = process_video_list(str(lst), videos, out_dir, kind="frame_diff")
+    assert set(errors2) == {"missing.mp4"}

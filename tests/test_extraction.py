@@ -1,0 +1,144 @@
+"""Extraction-pipeline tests: the batched decode->preprocess->embed->write
+pipeline must produce per-video embeddings identical to a simple sequential
+reference computation, with the reference HDF5 layout."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vimoclip_tpu.data.video_reader import read_video, write_video
+from vimoclip_tpu.extraction import (
+    ClipExtractor,
+    create_hdf5_dataset,
+    load_annotations,
+    load_class_map,
+    multi_hot,
+    uniform_indices,
+)
+from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+from vimoclip_tpu.ops.preprocess import clip_preprocess
+
+CFG = ClipVisionConfig(
+    image_size=32, patch_size=8, hidden_size=32, num_layers=1,
+    num_heads=2, intermediate_size=64, projection_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("videos")
+    rng = np.random.default_rng(0)
+    lengths = {"v0.mp4": 5, "v1.mp4": 9, "v2.mp4": 3, "v3.mp4": 12}
+    for vid, t in lengths.items():
+        write_video(str(root / vid), rng.integers(0, 256, (t, 36, 64, 3), dtype=np.uint8))
+    ann = root / "train.txt"
+    ann.write_text("v0.mp4 0 2\nv1.mp4 1\nv2.mp4 3\nv3.mp4 0 1 3\nmissing.mp4 2\n")
+    cls = root / "classes.csv"
+    cls.write_text("id,name\n0,eat\n1,swim\n2,fly\n3,run\n")
+    return str(root), lengths
+
+
+@pytest.fixture(scope="module")
+def params():
+    return ClipVisionEncoder(CFG).init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+    )["params"]
+
+
+def test_annotation_and_class_parsing(corpus):
+    root, _ = corpus
+    ann = load_annotations(os.path.join(root, "train.txt"))
+    assert ann[0] == ("v0.mp4", [0, 2])
+    assert len(ann) == 5
+    cmap = load_class_map(os.path.join(root, "classes.csv"))
+    assert cmap == {0: "eat", 1: "swim", 2: "fly", 3: "run"}
+    np.testing.assert_array_equal(multi_hot([0, 2], 4), [1, 0, 1, 0])
+
+
+def test_uniform_indices_reference_semantics():
+    np.testing.assert_array_equal(uniform_indices(10, None), np.arange(10))
+    np.testing.assert_array_equal(uniform_indices(5, 10), np.arange(5))
+    # T=10, max=3: step=3 -> [0,3,6,9][:3] = [0,3,6]
+    np.testing.assert_array_equal(uniform_indices(10, 3), [0, 3, 6])
+
+
+def test_extractor_matches_sequential(corpus, params):
+    root, lengths = corpus
+    videos = [(vid, os.path.join(root, vid)) for vid in lengths]
+    # batch smaller than some videos -> forces cross-video packing
+    extractor = ClipExtractor(params, CFG, batch_size=4, half_precision=False,
+                              decode_workers=2)
+    got = {}
+    errors = extractor.extract(videos, lambda vid, emb: got.__setitem__(vid, emb))
+    assert errors == {}
+    assert set(got) == set(lengths)
+
+    enc = ClipVisionEncoder(CFG)
+    for vid, t in lengths.items():
+        frames = read_video(os.path.join(root, vid))
+        ref = np.asarray(
+            enc.apply({"params": params}, clip_preprocess(jnp.asarray(frames), 32))
+        )
+        assert got[vid].shape == (t, 16)
+        np.testing.assert_allclose(got[vid], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_extractor_error_tolerance(corpus, params, tmp_path):
+    root, lengths = corpus
+    bad = tmp_path / "bad.mp4"
+    bad.write_bytes(b"not a video")
+    videos = [("v0.mp4", os.path.join(root, "v0.mp4")), ("bad.mp4", str(bad))]
+    extractor = ClipExtractor(params, CFG, batch_size=4, half_precision=False)
+    got = {}
+    errors = extractor.extract(videos, lambda vid, emb: got.__setitem__(vid, emb))
+    assert "bad.mp4" in errors
+    assert set(got) == {"v0.mp4"}
+
+
+def test_create_hdf5_dataset_reference_layout(corpus, params, tmp_path):
+    root, lengths = corpus
+    out = str(tmp_path / "train_clip_embeddings.h5")
+    errors = create_hdf5_dataset(
+        data_root=root,
+        annotation_file=os.path.join(root, "train.txt"),
+        class_file=os.path.join(root, "classes.csv"),
+        output_hdf5=out,
+        params=params,
+        config=CFG,
+        batch_size=4,
+        split="train",
+    )
+    assert errors == {"missing.mp4": "not found"}
+    with h5py.File(out, "r") as f:
+        assert f.attrs["num_classes"] == 4
+        assert f.attrs["type"] == "train"
+        assert set(k for k in f if isinstance(f[k], h5py.Group)) == set(lengths)
+        g = f["v3.mp4"]
+        assert g["embeddings"].shape == (12, 16)
+        np.testing.assert_array_equal(g["labels"][:], [1, 1, 0, 1])
+        assert g.attrs["total_frames"] == 12
+        assert "video_ids" in f
+
+
+def test_create_hdf5_dataset_max_frames(corpus, params, tmp_path):
+    root, lengths = corpus
+    out = str(tmp_path / "sub.h5")
+    create_hdf5_dataset(
+        data_root=root,
+        annotation_file=os.path.join(root, "train.txt"),
+        class_file=os.path.join(root, "classes.csv"),
+        output_hdf5=out,
+        params=params,
+        config=CFG,
+        batch_size=4,
+        max_frames=4,
+    )
+    with h5py.File(out, "r") as f:
+        # v3 has 12 frames -> step=3 -> indices [0,3,6,9]
+        assert f["v3.mp4"]["embeddings"].shape == (4, 16)
+        assert f["v0.mp4"]["embeddings"].shape == (4, 16)  # 5 frames, step=1

@@ -1,0 +1,104 @@
+"""End-to-end TFAM trainer slice on synthetic embedding HDF5 fixtures —
+the minimum end-to-end pipeline (SURVEY.md §7 step 4) on the 8-device mesh.
+
+The synthetic task is learnable (labels depend on the mean embedding), so a
+few epochs must push train mAP well above chance, and checkpoint/resume and
+best-model selection are exercised for real."""
+
+import numpy as np
+import pytest
+
+from vimoclip_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    LoggingConfig,
+    TFAMModelConfig,
+    TrainingConfig,
+)
+from vimoclip_tpu.data import EmbeddingWriter
+from vimoclip_tpu.parallel import MeshConfig, create_mesh
+from vimoclip_tpu.train.tfam_trainer import TFAMTester, TFAMTrainer
+
+D, C = 32, 6
+
+
+def _make_fixtures(tmp_path, n_videos=24, seed=0):
+    rng = np.random.default_rng(seed)
+    rgb_path = str(tmp_path / "rgb.h5")
+    motion_path = str(tmp_path / "motion.h5")
+    class_centers = rng.normal(size=(C, D)).astype(np.float32)
+    with EmbeddingWriter(rgb_path, num_classes=C, embed_dim=D) as wr, \
+         EmbeddingWriter(motion_path, embed_dim=D) as wm:
+        for i in range(n_videos):
+            t = int(rng.integers(6, 14))
+            cls = int(rng.integers(0, C))
+            emb = class_centers[cls] + 0.3 * rng.normal(size=(t, D)).astype(np.float32)
+            labels = np.zeros(C, dtype=np.float32)
+            labels[cls] = 1.0
+            wr.write_video(f"v{i:03d}.mp4", emb, labels=labels)
+            wm.write_video(
+                f"v{i:03d}",
+                class_centers[cls] + 0.3 * rng.normal(size=(t - 1, D)).astype(np.float32),
+            )
+    return rgb_path, motion_path
+
+
+@pytest.fixture
+def config(tmp_path):
+    rgb, motion = _make_fixtures(tmp_path)
+    return ExperimentConfig(
+        training=TrainingConfig(epochs=3, batch_size=8, num_workers=2, lr=3e-3,
+                                seed=49),
+        logging=LoggingConfig(),
+        data=DataConfig(num_classes=C, train_dataset_path=rgb,
+                        val_dataset_path=rgb, flow_dataset_path=motion,
+                        length_bucket=8),
+        model=TFAMModelConfig(d_model=D, nhead=4, num_layers=1,
+                              dim_feedforward=64, dropout=0.0, mlp_dropout=0.0),
+    )
+
+
+def test_tfam_trainer_end_to_end(config, tmp_path, mesh8):
+    trainer = TFAMTrainer(
+        config, log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"), mesh=mesh8,
+    )
+    _, map_before = trainer.validate()
+    best = trainer.train()
+    _, map_after = trainer.validate()
+    assert map_after > map_before + 0.15, (map_before, map_after)
+    assert best > 0
+
+    # Tester: load best, evaluate with prediction records
+    tester = TFAMTester(trainer, results_dir=str(tmp_path / "results"))
+    tester.load_best()
+    results = tester.evaluate(save_predictions=True, top_k=3)
+    assert results["metrics"]["mAP"] == pytest.approx(best, abs=1e-6)
+    assert len(results["videos"]) == 24  # 3 batches x 8
+    rec = results["videos"][0]
+    assert len(rec["predictions"]) == 3
+    import glob, json
+    saved = glob.glob(str(tmp_path / "results" / "results_*.json"))
+    assert len(saved) == 1
+    assert json.load(open(saved[0]))["metrics"]["mAP"] > 0
+
+
+def test_tfam_trainer_resume(config, tmp_path, mesh8):
+    trainer = TFAMTrainer(
+        config, log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"), mesh=mesh8,
+    )
+    config.training.epochs = 1
+    trainer.train()
+    step_after_1 = int(trainer.state.step)
+    assert step_after_1 == len(trainer.train_loader)
+
+    # fresh trainer, resume from the step checkpoint, continue to epoch 2
+    config.training.epochs = 2
+    config.training.resume = True
+    trainer2 = TFAMTrainer(
+        config, log_dir=str(tmp_path / "logs2"),
+        checkpoint_dir=str(tmp_path / "ckpt"), mesh=mesh8,
+    )
+    trainer2.train()
+    assert int(trainer2.state.step) == 2 * step_after_1

@@ -1,0 +1,77 @@
+"""Motion-embedding export CLI — the surface of the reference's
+``python inference.py`` (flow, whole-video) and ``inference_frame_diff.py``
+(streaming, resumable, memory-guarded) in one tool (SURVEY.md #12/#13)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from vimoclip_tpu.utils.logging import setup_logging
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="Export student motion embeddings to HDF5")
+    p.add_argument("--videos-dir", required=True, help="motion (flow/diff) video dir")
+    p.add_argument("--output", required=True, help="output HDF5 path")
+    p.add_argument("--checkpoint-dir", required=True,
+                   help="student CheckpointManager dir (uses 'best')")
+    p.add_argument("--clip-weights", default=None,
+                   help="vision config source; inferred from checkpoint if omitted")
+    p.add_argument("--chunk-size", type=int, default=128,
+                   help="streaming decode/forward chunk (frames)")
+    p.add_argument("--compression", choices=["lzf", "gzip", "none"], default="lzf")
+    p.add_argument("--min-free-gb", type=float, default=2.0,
+                   help="RAM watchdog floor (inference_frame_diff.py:32-69)")
+    p.add_argument("--overwrite", action="store_true",
+                   help="recreate output instead of resuming")
+    p.add_argument("--resize", type=int, nargs=2, default=None, metavar=("H", "W"))
+    p.add_argument("--float32", action="store_true")
+    args = p.parse_args(argv)
+
+    setup_logging()
+    import jax
+
+    from vimoclip_tpu.export import MotionEmbeddingExporter, find_motion_videos
+    from vimoclip_tpu.models.clip_vit import ClipVisionConfig
+    from vimoclip_tpu.models.student import StudentModel
+    from vimoclip_tpu.train.state import CheckpointManager, TrainState, make_adam
+
+    if args.clip_weights:
+        from vimoclip_tpu.models.pretrained import load_clip_vision
+
+        vision_config, _ = load_clip_vision(args.clip_weights)
+    else:
+        vision_config = ClipVisionConfig.vit_b_32()
+
+    # Restore the best student checkpoint (inference.py:79-87 loads
+    # student_best.pth; here CheckpointManager/best).
+    model = StudentModel(vision_config=vision_config)
+    import jax.numpy as jnp
+    import numpy as np
+
+    dummy = jnp.zeros((1, 2, vision_config.image_size, vision_config.image_size, 3),
+                      jnp.uint8)
+    params = model.init(jax.random.key(0), dummy)["params"]
+    state = TrainState.create(params, make_adam(1e-5))
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    state, _ = ckpt.restore(state, "best")
+
+    videos = find_motion_videos(args.videos_dir)
+    logging.info("found %d motion videos", len(videos))
+
+    exporter = MotionEmbeddingExporter(
+        state.params, vision_config,
+        chunk_size=args.chunk_size,
+        half_precision=not args.float32,
+        compression=None if args.compression == "none" else args.compression,
+        min_free_gb=args.min_free_gb,
+    )
+    exporter.export(
+        videos, args.output, overwrite=args.overwrite,
+        resize_to=tuple(args.resize) if args.resize else None,
+    )
+
+
+if __name__ == "__main__":
+    main()

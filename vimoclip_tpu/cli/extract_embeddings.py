@@ -1,0 +1,65 @@
+"""Teacher-embedding extraction CLI — the surface of the reference's
+``python extract_embeddings.py`` (AK, ViT-B/16) and
+``extract_embeddings_mammalNet.py`` (MN, ViT-B/32, SURVEY.md #1/#2), unified
+with flags instead of near-duplicate scripts."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+from vimoclip_tpu.utils.logging import setup_logging
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="Extract CLIP frame embeddings to HDF5")
+    p.add_argument("--data-root", required=True, help="video directory")
+    p.add_argument("--annotation-file", required=True,
+                   help="'<video> label...' lines (train_multi.txt format)")
+    p.add_argument("--class-file", required=True, help="id,name csv (ak_action.csv)")
+    p.add_argument("--output", required=True, help="output HDF5 path")
+    p.add_argument("--clip-weights", required=True,
+                   help="CLIP checkpoint: safetensors / torch state dict / HF dir")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="uniform frame subsampling cap (extract_embeddings.py:77-81)")
+    p.add_argument("--batch-size", type=int, default=256,
+                   help="device batch (frames)")
+    p.add_argument("--split", default="val", choices=["train", "val", "test"])
+    p.add_argument("--dataset-name", default="AnimalKingdom")
+    p.add_argument("--no-compression", action="store_true",
+                   help="disable gzip (faster writes)")
+    p.add_argument("--float32", action="store_true",
+                   help="full-precision forward (default bfloat16)")
+    args = p.parse_args(argv)
+
+    setup_logging()
+    from vimoclip_tpu.extraction import create_hdf5_dataset
+    from vimoclip_tpu.models.pretrained import load_clip_vision
+
+    config, params = load_clip_vision(args.clip_weights)
+    logging.info("CLIP visual tower: patch %d, %d layers, proj %d",
+                 config.patch_size, config.num_layers, config.projection_dim)
+
+    start = time.time()
+    errors = create_hdf5_dataset(
+        data_root=args.data_root,
+        annotation_file=args.annotation_file,
+        class_file=args.class_file,
+        output_hdf5=args.output,
+        params=params,
+        config=config,
+        max_frames=args.max_frames,
+        batch_size=args.batch_size,
+        split=args.split,
+        dataset_name=args.dataset_name,
+        clip_model_name=f"ViT-B/{config.patch_size}",
+        compression=None if args.no_compression else "gzip",
+    )
+    logging.info("done in %.1fs; %d errors", time.time() - start, len(errors))
+    for vid, err in errors.items():
+        logging.warning("  %s: %s", vid, err)
+
+
+if __name__ == "__main__":
+    main()

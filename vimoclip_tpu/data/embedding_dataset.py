@@ -20,6 +20,8 @@ padding.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import h5py
 
@@ -50,17 +52,21 @@ class PairedEmbeddingDataset:
                     k for k in keys if f[k]["embeddings"].shape[0] < max_frames
                 ]
             self.keys = keys
-        # file handles opened lazily per worker/process
+        # file handles opened lazily (loader threads share them; h5py
+        # serialises access internally, but the open itself needs a lock)
         self._rgb_file: h5py.File | None = None
         self._motion_file: h5py.File | None = None
+        self._open_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.keys)
 
     def _files(self):
-        if self._rgb_file is None:
-            self._rgb_file = h5py.File(self.rgb_path, "r")
-            self._motion_file = h5py.File(self.motion_path, "r")
+        if self._motion_file is None:
+            with self._open_lock:
+                if self._motion_file is None:
+                    self._rgb_file = h5py.File(self.rgb_path, "r")
+                    self._motion_file = h5py.File(self.motion_path, "r")
         return self._rgb_file, self._motion_file
 
     def __getitem__(self, idx: int) -> dict:

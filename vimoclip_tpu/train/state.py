@@ -1,0 +1,155 @@
+"""Train state, optimizer schedules, and Orbax checkpointing.
+
+Reference parity:
+- AdamW(lr=1e-4, weight_decay=0.1) + CosineAnnealingLR(T_max=epochs,
+  eta_min=1e-6) stepped once per EPOCH (TFAM/train_and_eval.py:53-56,162) —
+  reproduced as an optax step-indexed schedule that changes value at epoch
+  boundaries;
+- Adam(lr) for stage-1 (train.py:66), optional global-norm grad clipping
+  (train.py:105-106);
+- checkpoints carry model + optimizer + scheduler + best-metric state
+  (train_and_eval.py:133-149).
+
+TPU-native upgrade: Orbax handles sharded arrays natively, and — unlike the
+reference, which never resumes training (SURVEY.md §5) — ``CheckpointManager``
+supports true train-resume (params, opt state, step, best metric, PRNG key).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), tx=tx,
+        )
+
+    def apply_gradients(self, grads):
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=params, opt_state=opt_state)
+
+
+def cosine_annealing_schedule(
+    base_lr: float, epochs: int, steps_per_epoch: int, eta_min: float = 1e-6
+) -> optax.Schedule:
+    """torch CosineAnnealingLR stepped per epoch:
+    lr(e) = eta_min + (base - eta_min) * (1 + cos(pi * e / T_max)) / 2,
+    constant within an epoch (scheduler.step() after each epoch,
+    train_and_eval.py:162)."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        cos = jnp.cos(jnp.pi * epoch / epochs)
+        return eta_min + (base_lr - eta_min) * (1.0 + cos) / 2.0
+
+    return schedule
+
+
+def make_adamw(
+    lr,
+    weight_decay: float = 0.1,
+    grad_clip: float | None = None,
+) -> optax.GradientTransformation:
+    """AdamW matching torch defaults (betas (0.9, 0.999), eps 1e-8, decoupled
+    decay — torch scales decay by lr, as optax.adamw does)."""
+    txs = []
+    if grad_clip is not None:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay))
+    return optax.chain(*txs)
+
+
+def make_adam(lr, grad_clip: float | None = None) -> optax.GradientTransformation:
+    """Plain Adam for stage-1 (reference train.py:66)."""
+    txs = []
+    if grad_clip is not None:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(optax.adam(lr))
+    return optax.chain(*txs)
+
+
+class CheckpointManager:
+    """Orbax-backed checkpointing with best-model tracking and true resume.
+
+    Layout: ``<dir>/best`` holds the best-by-metric state (the reference's
+    ``best_model.pth``, train_and_eval.py:145-147); ``<dir>/step_N`` holds
+    periodic full states for resume (reference train.py:167 saves per-epoch).
+    """
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self.best_metric: float = -float("inf")
+
+    def _payload(self, state: TrainState) -> dict:
+        return {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+        }
+
+    def save(self, state: TrainState, name: str, extra: dict | None = None) -> None:
+        path = os.path.join(self.directory, name)
+        self._ckptr.save(path, self._payload(state), force=True)
+        self._ckptr.wait_until_finished()
+        # Scalar metadata (epoch, best metric) lives in a JSON sidecar — the
+        # array tree stays a clean Orbax pytree.
+        with open(os.path.join(path, "extra.json"), "w") as f:
+            json.dump(extra or {}, f)
+
+    def save_if_best(
+        self, state: TrainState, metric: float, extra: dict | None = None
+    ) -> bool:
+        """Keep ``best`` = highest metric (val mAP, train_and_eval.py:143)."""
+        if metric > self.best_metric:
+            self.best_metric = metric
+            extra = dict(extra or {}, best_metric=float(metric))
+            self.save(state, "best", extra)
+            return True
+        return False
+
+    def restore(self, state: TrainState, name: str = "best") -> tuple[TrainState, dict]:
+        path = os.path.join(self.directory, name)
+        restored = self._ckptr.restore(path, target=self._payload(state))
+        new_state = state.replace(
+            step=jnp.asarray(restored["step"]),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        extra_path = os.path.join(path, "extra.json")
+        extra = {}
+        if os.path.exists(extra_path):
+            with open(extra_path) as f:
+                extra = json.load(f)
+        if "best_metric" in extra:
+            self.best_metric = float(extra["best_metric"])
+        return new_state, extra
+
+    def latest_step_name(self) -> str | None:
+        steps = [
+            d for d in os.listdir(self.directory)
+            if d.startswith("step_") and os.path.isdir(os.path.join(self.directory, d))
+        ]
+        if not steps:
+            return None
+        return max(steps, key=lambda s: int(s.split("_")[1]))

@@ -1,0 +1,219 @@
+"""Stage-1 MoCLIP distillation trainer.
+
+Reference parity (train.py / train_frame_diff.py / train_frame_diff_mn.py —
+one trainer here, modality and dataset select via config):
+
+- loss = distillation(student_distill, teacher_rgb[:, :-1, :]) +
+  classification (train.py:98-99) — the teacher sequence is truncated by ONE
+  frame to align with the T-1 motion frames (the off-by-one SURVEY.md §7
+  flags as easy to get wrong);
+- AK: pos-weighted BCE (default weight 9, train.py:199); MN: CE on argmax
+  labels (train_frame_diff_mn.py:102);
+- Adam(lr) + optional global-norm grad clip (train.py:66,105-106);
+- per-epoch checkpoint + best-by-val-total-loss (train.py:167-175);
+- evaluate() mirrors the loss computation without grads (train.py:14-49).
+
+TPU-native: motion frames ship to device as uint8 (4x less PCIe/ICI traffic
+than float32), preprocessing is fused on device, the whole step is one jit
+over the (data, model) mesh.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vimoclip_tpu import losses
+from vimoclip_tpu.data import BatchLoader, prefetch_to_device
+from vimoclip_tpu.data.segment_dataset import SegmentDataset, collate_segments
+from vimoclip_tpu.models.clip_vit import ClipVisionConfig
+from vimoclip_tpu.models.student import StudentModel
+from vimoclip_tpu.parallel import (
+    MeshConfig,
+    STUDENT_PARTITION_RULES,
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_params,
+)
+from vimoclip_tpu.prng import KeyChain
+from vimoclip_tpu.train.state import CheckpointManager, TrainState, make_adam
+from vimoclip_tpu.utils.logging import StepTimer, SummaryWriter
+
+
+class StudentTrainer:
+    def __init__(
+        self,
+        train_dataset: SegmentDataset,
+        val_dataset: SegmentDataset,
+        checkpoint_dir: str,
+        log_dir: str | None = None,
+        vision_config: ClipVisionConfig | None = None,
+        pretrained_params: dict | None = None,
+        num_classes: int = 140,
+        alpha: float = 0.1,
+        lr: float = 1e-5,
+        batch_size: int = 2,
+        num_workers: int = 4,
+        epochs: int = 10,
+        distill_mode: str = "cosine",
+        class_loss: str = "bce",  # bce (AK) | ce (MN)
+        class_pos_weight: float | None = 9.0,
+        grad_clip: float | None = None,
+        seed: int = 49,
+        data_parallel: int = -1,
+        model_parallel: int = 1,
+        half_precision: bool = True,
+        mesh=None,
+    ):
+        self.mesh = mesh if mesh is not None else create_mesh(
+            MeshConfig(data_parallel, model_parallel)
+        )
+        self.vision_config = vision_config or ClipVisionConfig.vit_b_32()
+        self.model = StudentModel(
+            vision_config=self.vision_config,
+            num_classes=num_classes,
+            alpha=alpha,
+            dtype=jnp.bfloat16 if half_precision else jnp.float32,
+        )
+        self.epochs = epochs
+        self.distill_mode = distill_mode
+        self.class_loss = class_loss
+        self.class_pos_weight = class_pos_weight
+        self.keys = KeyChain(seed)
+        self.ckpt = CheckpointManager(checkpoint_dir)
+        self.writer = SummaryWriter(log_dir) if log_dir else None
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        self.train_loader = BatchLoader(
+            train_dataset, batch_size, collate_segments, shuffle=True,
+            drop_last=True, seed=seed, num_workers=num_workers,
+        )
+        self.val_loader = BatchLoader(
+            val_dataset, batch_size, collate_segments, shuffle=False,
+            num_workers=num_workers,
+        )
+
+        params = self._init_params(pretrained_params, train_dataset)
+        tx = make_adam(lr, grad_clip=grad_clip)
+        state = TrainState.create(params, tx)
+        rep = replicated_sharding(self.mesh)
+        self.state = jax.tree.map(
+            lambda x: x
+            if isinstance(getattr(x, "sharding", None), jax.sharding.NamedSharding)
+            else jax.device_put(x, rep),
+            state,
+        )
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    def _init_params(self, pretrained: dict | None, train_dataset) -> dict:
+        sample = train_dataset[0]
+        t, h, w, _ = sample["motion_frames"].shape
+        dummy = jnp.zeros((1, t, h, w, 3), jnp.uint8)
+        params = self.model.init(self.keys("init"), dummy)["params"]
+        if pretrained is not None:
+            # CLIP-initialise the backbone (reference loads clip.load weights,
+            # student_model.py:44); distill/head branches keep fresh init.
+            params = dict(params, visual_encoder=pretrained)
+        return shard_params(params, STUDENT_PARTITION_RULES, self.mesh)
+
+    def _losses(self, params, batch):
+        _, distill_emb, logits = self.model.apply(
+            {"params": params}, batch["motion_frames"]
+        )
+        # teacher truncated by one frame: T RGB embeddings vs T-1 motion
+        # frames (train.py:98)
+        teacher = batch["rgb_emb"][:, :-1, :]
+        d_loss = losses.distillation_loss(distill_emb, teacher, self.distill_mode)
+        if self.class_loss == "ce":
+            c_loss = losses.cross_entropy_loss(logits, batch["labels"])
+        else:
+            c_loss = losses.classification_loss(
+                logits, batch["labels"], self.class_pos_weight
+            )
+        return d_loss, c_loss
+
+    def _build_train_step(self):
+        @jax.jit
+        def step(state: TrainState, batch: dict):
+            def loss_fn(params):
+                d_loss, c_loss = self._losses(params, batch)
+                return d_loss + c_loss, (d_loss, c_loss)
+
+            (total, (d_loss, c_loss)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            return state.apply_gradients(grads), total, d_loss, c_loss
+
+        return step
+
+    def _build_eval_step(self):
+        @jax.jit
+        def step(params, batch: dict):
+            d_loss, c_loss = self._losses(params, batch)
+            return d_loss + c_loss, d_loss, c_loss
+
+        return step
+
+    def _device_batches(self, loader):
+        for batch in prefetch_to_device(loader, sharding=self.batch_sharding):
+            yield {k: v for k, v in batch.items() if k != "video_id"}
+
+    def train_epoch(self, epoch: int) -> dict:
+        self.train_loader.set_epoch(epoch)
+        sums = np.zeros(3)
+        n = 0
+        timer = StepTimer()
+        for batch in self._device_batches(self.train_loader):
+            self.state, total, d_loss, c_loss = self._train_step(self.state, batch)
+            sums += [float(total), float(d_loss), float(c_loss)]
+            n += 1
+            timer.tick(batch["labels"].shape[0])
+            if self.writer and n % 10 == 0:
+                step = int(self.state.step)
+                self.writer.add_scalar("train/total_loss", float(total), step)
+                self.writer.add_scalar("train/distill_loss", float(d_loss), step)
+                self.writer.add_scalar("train/class_loss", float(c_loss), step)
+        out = dict(zip(("total", "distill", "class"), sums / max(n, 1)))
+        out["segments_per_sec"] = timer.examples_per_sec
+        return out
+
+    def evaluate(self) -> dict:
+        sums = np.zeros(3)
+        n = 0
+        for batch in self._device_batches(self.val_loader):
+            total, d_loss, c_loss = self._eval_step(self.state.params, batch)
+            sums += [float(total), float(d_loss), float(c_loss)]
+            n += 1
+        return dict(zip(("total", "distill", "class"), sums / max(n, 1)))
+
+    def train(self) -> float:
+        best_val = float("inf")
+        start = time.time()
+        for epoch in range(self.epochs):
+            tr = self.train_epoch(epoch)
+            va = self.evaluate()
+            # best-by-val-total-loss (train.py:170-175) — flip sign because
+            # CheckpointManager tracks highest-metric
+            if self.ckpt.save_if_best(self.state, -va["total"], extra={"epoch": epoch}):
+                best_val = va["total"]
+                logging.info("new best student at epoch %d (val loss %.4f)",
+                             epoch, va["total"])
+            self.ckpt.save(self.state, f"step_{int(self.state.step)}",
+                           extra={"epoch": epoch})
+            if self.writer:
+                for k, v in va.items():
+                    self.writer.add_scalar(f"val/{k}_loss", v, epoch)
+            logging.info(
+                "Epoch %d/%d | train total %.4f (distill %.4f, class %.4f) | "
+                "val total %.4f | %.1f segments/s",
+                epoch + 1, self.epochs, tr["total"], tr["distill"], tr["class"],
+                va["total"], tr["segments_per_sec"],
+            )
+        logging.info("stage-1 training complete in %.1f min", (time.time() - start) / 60)
+        return best_val

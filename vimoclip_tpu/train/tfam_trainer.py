@@ -1,0 +1,328 @@
+"""Stage-2 trainer/evaluator for the TFAM fusion model — the pipeline's
+minimum end-to-end slice (SURVEY.md §7 step 4).
+
+Reference parity (TFAM/train_and_eval.py):
+- ``ModelTrainer`` (:41-173): AdamW wd=0.1 + per-epoch cosine annealing to
+  eta_min=1e-6, BCE-with-logits (AK multilabel) or CE (MN single-label),
+  micro-mAP / accuracy tracked over the whole epoch, best-by-val-metric
+  checkpointing, TensorBoard scalars, drop_last loaders.
+- ``ModelTester`` (:175-307): loads best checkpoint, computes loss+metric,
+  emits per-video top-5 predictions with class names to
+  ``results/results_<ts>.json`` and a tabulate console summary.
+
+TPU-native architecture: one jit-compiled train step over a (data, model)
+mesh — batch sharded on ``data``, params partitioned by TFAM_PARTITION_RULES;
+XLA inserts the gradient all-reduce. Host threads load HDF5 items; batches
+are length-bucketed (a handful of compiled programs) and prefetched to
+device double-buffered. Orbax checkpoints support true resume.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from vimoclip_tpu import losses
+from vimoclip_tpu.config import ExperimentConfig
+from vimoclip_tpu.data import BatchLoader, PairedEmbeddingDataset, collate_pad, prefetch_to_device
+from vimoclip_tpu.metrics import MultilabelAveragePrecision, TopKAccuracy
+from vimoclip_tpu.models import TFAM
+from vimoclip_tpu.parallel import (
+    MeshConfig,
+    TFAM_PARTITION_RULES,
+    batch_sharding,
+    create_mesh,
+    partition_params,
+    shard_params,
+)
+from vimoclip_tpu.prng import KeyChain
+from vimoclip_tpu.train.state import CheckpointManager, TrainState, cosine_annealing_schedule, make_adamw
+from vimoclip_tpu.utils.logging import StepTimer, SummaryWriter
+
+
+def _make_metric(config: ExperimentConfig):
+    if config.training.metric == "accuracy":
+        return TopKAccuracy(top_k=1)
+    return MultilabelAveragePrecision(num_labels=config.num_classes)
+
+
+def _loss_fn_for(config: ExperimentConfig):
+    if config.training.loss == "ce":
+        return losses.cross_entropy_loss
+    return losses.bce_with_logits
+
+
+class TFAMTrainer:
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        log_dir: str,
+        checkpoint_dir: str,
+        mesh=None,
+    ):
+        self.config = config
+        self.mesh = mesh if mesh is not None else create_mesh(
+            MeshConfig(config.training.data_parallel, config.training.model_parallel)
+        )
+        self.model = TFAM(config=config.model, num_classes=config.num_classes)
+        self.keys = KeyChain(config.training.seed)
+        self.metric = _make_metric(config)
+        self.loss_fn = _loss_fn_for(config)
+        self.writer = SummaryWriter(log_dir)
+        self.ckpt = CheckpointManager(checkpoint_dir)
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        dcfg = config.data
+        self.train_ds = PairedEmbeddingDataset(
+            dcfg.train_dataset_path, dcfg.motion_dataset_path,
+            num_frames=dcfg.num_frames, max_frames=dcfg.max_frames,
+        )
+        self.val_ds = PairedEmbeddingDataset(
+            dcfg.val_dataset_path, dcfg.motion_dataset_path,
+            num_frames=dcfg.num_frames, max_frames=dcfg.max_frames,
+        )
+        collate = lambda items: collate_pad(
+            items, bucket=dcfg.length_bucket, max_seq_len=dcfg.max_seq_len
+        )
+        tcfg = config.training
+        self.train_loader = BatchLoader(
+            self.train_ds, tcfg.batch_size, collate, shuffle=True,
+            drop_last=True, seed=tcfg.seed, num_workers=tcfg.num_workers,
+        )
+        self.val_loader = BatchLoader(
+            self.val_ds, tcfg.batch_size, collate, shuffle=False,
+            drop_last=True, num_workers=tcfg.num_workers,
+        )
+
+        self.state = self._init_state()
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _init_state(self) -> TrainState:
+        tcfg = self.config.training
+        d = self.config.model.d_model
+        dummy_rgb = jnp.zeros((1, 4, d), jnp.float32)
+        dummy_motion = jnp.zeros((1, 3, d), jnp.float32)
+        params = self.model.init(
+            self.keys("init"), dummy_rgb, dummy_motion,
+            jnp.ones((1, 4), bool), jnp.ones((1, 3), bool),
+        )["params"]
+        params = shard_params(params, TFAM_PARTITION_RULES, self.mesh)
+        schedule = cosine_annealing_schedule(
+            tcfg.lr, tcfg.epochs, max(len(self.train_loader), 1), tcfg.eta_min
+        )
+        self._schedule = schedule
+        tx = make_adamw(schedule, weight_decay=tcfg.weight_decay)
+        state = TrainState.create(params, tx)
+        # Commit every unsharded leaf (step, optimizer counters) as replicated
+        # on the mesh, so restored checkpoints and fresh state have identical
+        # device placement.
+        from jax.sharding import NamedSharding
+
+        from vimoclip_tpu.parallel import replicated_sharding
+
+        rep = replicated_sharding(self.mesh)
+        return jax.tree.map(
+            lambda x: x
+            if isinstance(getattr(x, "sharding", None), NamedSharding)
+            else jax.device_put(x, rep),
+            state,
+        )
+
+    def _apply(self, params, batch, deterministic, rngs=None):
+        return self.model.apply(
+            {"params": params},
+            batch["embeddings"], batch["motion_embeddings"],
+            batch["mask_rgb"], batch["mask_motion"],
+            deterministic=deterministic, rngs=rngs,
+        )
+
+    def _build_train_step(self):
+        loss_fn = self.loss_fn
+
+        @jax.jit
+        def step(state: TrainState, batch: dict, dropout_key) -> tuple:
+            def compute_loss(params):
+                logits = self._apply(
+                    params, batch, deterministic=False, rngs={"dropout": dropout_key}
+                )
+                return loss_fn(logits, batch["labels"]), logits
+
+            (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads), loss, logits
+
+        return step
+
+    def _build_eval_step(self):
+        loss_fn = self.loss_fn
+
+        @jax.jit
+        def step(params, batch: dict) -> tuple:
+            logits = self._apply(params, batch, deterministic=True)
+            return loss_fn(logits, batch["labels"]), logits
+
+        return step
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> tuple[float, float]:
+        self.metric.reset()
+        self.train_loader.set_epoch(epoch)
+        total_loss, n = 0.0, 0
+        timer = StepTimer()
+        for batch in prefetch_to_device(self.train_loader, sharding=self.batch_sharding):
+            key = self.keys("dropout", int(self.state.step))
+            arrays = {k: v for k, v in batch.items() if k != "video_id"}
+            self.state, loss, logits = self._train_step(self.state, arrays, key)
+            total_loss += float(loss)
+            n += 1
+            self.metric.update(np.asarray(logits), np.asarray(batch["labels"]))
+            timer.tick(batch["labels"].shape[0])
+        train_loss = total_loss / max(n, 1)
+        train_metric = self.metric.compute()
+        self.writer.add_scalar("Loss/train", train_loss, epoch)
+        self.writer.add_scalar("mAP/train", train_metric, epoch)
+        self.writer.add_scalar("perf/train_clips_per_sec", timer.examples_per_sec, epoch)
+        return train_loss, train_metric
+
+    def validate(self, epoch: int | None = None) -> tuple[float, float]:
+        self.metric.reset()
+        total_loss, n = 0.0, 0
+        for batch in prefetch_to_device(self.val_loader, sharding=self.batch_sharding):
+            arrays = {k: v for k, v in batch.items() if k != "video_id"}
+            loss, logits = self._eval_step(self.state.params, arrays)
+            total_loss += float(loss)
+            n += 1
+            self.metric.update(np.asarray(logits), np.asarray(batch["labels"]))
+        val_loss = total_loss / max(n, 1)
+        val_metric = self.metric.compute()
+        if epoch is not None:
+            self.writer.add_scalar("Loss/val", val_loss, epoch)
+            self.writer.add_scalar("mAP/val", val_metric, epoch)
+        return val_loss, val_metric
+
+    def train(self) -> float:
+        tcfg = self.config.training
+        start_epoch = 0
+        if tcfg.resume:
+            latest = self.ckpt.latest_step_name()
+            if latest:
+                self.state, extra = self.ckpt.restore(self.state, latest)
+                start_epoch = int(extra.get("epoch", -1)) + 1
+                logging.info("resumed from %s at epoch %d", latest, start_epoch)
+        start = time.time()
+        best = self.ckpt.best_metric
+        for epoch in range(start_epoch, tcfg.epochs):
+            train_loss, train_map = self.train_epoch(epoch)
+            val_loss, val_map = self.validate(epoch)
+            if self.ckpt.save_if_best(self.state, val_map, extra={"epoch": epoch}):
+                logging.info("new best model at epoch %d (mAP=%.4f)", epoch, val_map)
+                best = val_map
+            self.ckpt.save(self.state, f"step_{int(self.state.step)}", extra={"epoch": epoch})
+            lr = float(self._schedule(int(self.state.step)))
+            self.writer.add_scalar("Learning Rate", lr, epoch)
+            logging.info(
+                "Epoch %d/%d | Train Loss: %.4f | Train mAP: %.4f | "
+                "Val Loss: %.4f | Val mAP: %.4f | LR: %.2e",
+                epoch + 1, tcfg.epochs, train_loss, train_map, val_loss, val_map, lr,
+            )
+        self.writer.close()
+        logging.info("training complete in %.2f minutes", (time.time() - start) / 60)
+        return best
+
+
+class TFAMTester:
+    """Evaluation + per-video top-k prediction reports
+    (reference ModelTester, train_and_eval.py:175-307)."""
+
+    def __init__(self, trainer: TFAMTrainer, results_dir: str = "results"):
+        self.t = trainer
+        self.results_dir = results_dir
+        self.class_names: dict[str, str] = {}
+        path = trainer.config.data.class_names_dir
+        if path and os.path.exists(path):
+            df = pd.read_csv(path, header=None, names=["id", "name"])
+            self.class_names = {str(r["id"]): r["name"] for _, r in df.iterrows()}
+
+    def load_best(self) -> None:
+        self.t.state, _ = self.t.ckpt.restore(self.t.state, "best")
+        logging.info("best model loaded from %s", self.t.ckpt.directory)
+
+    def evaluate(self, save_predictions: bool = False, top_k: int = 5) -> dict:
+        self.t.metric.reset()
+        results = {
+            "videos": [],
+            "metrics": {},
+            "config": {
+                "model": "TFAM",
+                "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+            },
+        }
+        total_loss, n = 0.0, 0
+        for batch in prefetch_to_device(
+            self.t.val_loader, sharding=self.t.batch_sharding
+        ):
+            arrays = {k: v for k, v in batch.items() if k != "video_id"}
+            loss, logits = self.t._eval_step(self.t.state.params, arrays)
+            total_loss += float(loss)
+            n += 1
+            logits_np = np.asarray(logits)
+            labels_np = np.asarray(batch["labels"])
+            self.t.metric.update(logits_np, labels_np)
+            probs = 1.0 / (1.0 + np.exp(-logits_np))
+            for i, vid in enumerate(batch["video_id"]):
+                order = np.argsort(probs[i])[::-1][:top_k]
+                rec = {
+                    "video_id": vid,
+                    "true_labels": [
+                        {"class_id": str(c), "class_name": self.class_names.get(str(c), f"class_{c}")}
+                        for c in np.where(labels_np[i] == 1)[0]
+                    ],
+                    "predictions": {
+                        str(c): {
+                            "class_name": self.class_names.get(str(c), f"class_{c}"),
+                            "probability": round(float(probs[i, c]), 4),
+                        }
+                        for c in order
+                    },
+                }
+                results["videos"].append(rec)
+        results["metrics"]["loss"] = total_loss / max(n, 1)
+        results["metrics"]["mAP"] = self.t.metric.compute()
+        if save_predictions:
+            os.makedirs(self.results_dir, exist_ok=True)
+            out = os.path.join(
+                self.results_dir, f"results_{time.strftime('%Y%m%d-%H%M%S')}.json"
+            )
+            with open(out, "w") as f:
+                json.dump(results, f, indent=2)
+            logging.info("results saved to %s", out)
+        self._print_summary(results, top_k)
+        return results
+
+    def _print_summary(self, results: dict, top_k: int) -> None:
+        from tabulate import tabulate
+
+        print("\n" + "=" * 60)
+        print(f"Evaluation summary ({results['config']['timestamp']})")
+        print("=" * 60)
+        print(f"Loss: {results['metrics']['loss']:.4f}")
+        print(f"mAP:  {results['metrics']['mAP']:.4f}")
+        print(f"Videos evaluated: {len(results['videos'])}")
+        for video in results["videos"][:3]:
+            print(f"\nVideo ID: {video['video_id']}")
+            rows = [
+                [p["class_name"], f"{p['probability']:.4f}",
+                 "Yes" if any(l["class_id"] == cid for l in video["true_labels"]) else "No"]
+                for cid, p in video["predictions"].items()
+            ]
+            print(tabulate(rows, headers=["Class", "Probability", "Correct"], tablefmt="pretty"))
