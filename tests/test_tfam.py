@@ -203,3 +203,22 @@ def test_tfam_dropout_active_in_training_mode():
                         rngs={"dropout": jax.random.key(2)})
     assert not np.allclose(np.asarray(out_a), np.asarray(out_det))
     assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_tfam_flash_attention_matches_xla():
+    """attention_impl='flash' (Pallas, interpreter on CPU) must reproduce the
+    XLA path's logits in eval mode."""
+    rgb, motion, mask_rgb, mask_flow = _inputs(seed=9)
+    args = (jnp.asarray(rgb), jnp.asarray(motion), jnp.asarray(mask_rgb),
+            jnp.asarray(mask_flow))
+    model_xla = TFAM(config=_config("cross"), num_classes=CLASSES)
+    params = model_xla.init(jax.random.key(0), *args)["params"]
+    out_xla = model_xla.apply({"params": params}, *args, deterministic=True)
+
+    import dataclasses
+    cfg_flash = dataclasses.replace(_config("cross"), attention_impl="flash")
+    model_flash = TFAM(config=cfg_flash, num_classes=CLASSES)
+    out_flash = model_flash.apply({"params": params}, *args, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), rtol=1e-4, atol=1e-5
+    )

@@ -84,6 +84,9 @@ class TFAMModelConfig:
     mlp_dropout: float = 0.1
     activation: str = "relu"  # FFN activation (reference AttentionLayer default)
     masked_pooling: bool = False  # reference pools over pads (AMO_CLIP.py:170)
+    # Pallas block-Q attention kernel for eval/serving (and training when
+    # dropout=0); "xla" keeps reference numerics with attention dropout.
+    attention_impl: str = "xla"
 
 
 @dataclasses.dataclass

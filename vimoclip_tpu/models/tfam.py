@@ -62,6 +62,7 @@ class AttentionLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     activation: str = "relu"  # reference AttentionLayer default (AMO_CLIP.py:13)
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -76,13 +77,15 @@ class AttentionLayer(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=_LN_EPS, name=name)
 
         attn_out = MultiHeadAttention(
-            self.d_model, self.num_heads, dropout=self.dropout, name="self_attn"
+            self.d_model, self.num_heads, dropout=self.dropout,
+            implementation=self.attention_impl, name="self_attn"
         )(x, key_padding_mask=src_key_padding_mask, deterministic=deterministic)
         x = ln("norm_self")(x + drop(attn_out))
 
         if cross_src is not None:
             attn_out = MultiHeadAttention(
-                self.d_model, self.num_heads, dropout=self.dropout, name="cross_attn"
+                self.d_model, self.num_heads, dropout=self.dropout,
+                implementation=self.attention_impl, name="cross_attn"
             )(
                 x,
                 kv=cross_src,
@@ -140,6 +143,7 @@ class TFAM(nn.Module):
                 cfg.dim_feedforward,
                 dropout=cfg.dropout,
                 activation=cfg.activation,
+                attention_impl=cfg.attention_impl,
                 name=f"layers_{i}",
             )
             for i in range(cfg.num_layers)

@@ -82,6 +82,10 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # "xla" (reference numerics incl. attention dropout) or "flash" (Pallas
+    # block-Q kernel; used when no attention dropout applies — eval/serving,
+    # or dropout=0.0 configs).
+    implementation: str = "xla"
 
     @nn.compact
     def __call__(
@@ -108,18 +112,24 @@ class MultiHeadAttention(nn.Module):
         v = split_heads(dense("v_proj")(kv))
 
         dropout_rng = None
-        if self.dropout > 0.0 and not deterministic:
+        attn_dropout_active = self.dropout > 0.0 and not deterministic
+        if attn_dropout_active:
             dropout_rng = self.make_rng("dropout")
 
-        out = dot_product_attention(
-            q,
-            k,
-            v,
-            key_padding_mask=key_padding_mask,
-            dropout_rate=self.dropout,
-            deterministic=deterministic,
-            dropout_rng=dropout_rng,
-        )
+        if self.implementation == "flash" and not attn_dropout_active:
+            from vimoclip_tpu.ops.pallas import flash_attention
+
+            out = flash_attention(q, k, v, key_padding_mask=key_padding_mask)
+        else:
+            out = dot_product_attention(
+                q,
+                k,
+                v,
+                key_padding_mask=key_padding_mask,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                dropout_rng=dropout_rng,
+            )
         b, _, s, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.embed_dim)
         return dense("out_proj")(out)
