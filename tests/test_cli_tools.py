@@ -1,0 +1,102 @@
+"""CLI tool tests: sweep generator, h5 checker exit codes, frame sampler,
+benchmark motion section, profiling helpers."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vimoclip_tpu.cli.run_experiments import REFERENCE_GRID, base_config, generate
+from vimoclip_tpu.config import load_experiment_config
+from vimoclip_tpu.utils.profiling import MemoryMonitor
+
+
+def test_sweep_generator_writes_loadable_configs(tmp_path):
+    paths = generate(str(tmp_path), {"train_dataset_path": "/x/train.h5"})
+    assert len(paths) == len(REFERENCE_GRID) == 21
+    names = [os.path.basename(p) for p in paths]
+    assert names[0] == "config_default.yaml"
+    # every generated config must load through the real config system
+    for p in paths:
+        cfg = load_experiment_config(p)
+        assert cfg.model.d_model == 512
+        assert cfg.training.seed == 49
+        assert cfg.data.train_dataset_path == "/x/train.h5"
+    # sweep axes are actually varied
+    cfgs = [load_experiment_config(p) for p in paths]
+    assert {c.model.use_cross_attention for c in cfgs} == {True, False}
+    assert {c.model.concat_dim for c in cfgs} == {1, -1}
+    assert {c.model.use_pe for c in cfgs} == {True, False}
+    assert {c.training.batch_size for c in cfgs} == {4, 8}
+    assert {c.model.dropout for c in cfgs} == {0.1, 0.2}
+    assert {c.model.mlp_dropout for c in cfgs} == {0.1, 0.3}
+
+
+def test_base_config_matches_reference_schema():
+    cfg = base_config()
+    assert set(cfg) == {"training", "logging", "data", "model"}
+    assert cfg["model"]["dim_feedforward"] == 2048
+    assert cfg["training"]["epochs"] == 30
+
+
+def test_h5_checker_cli_exit_codes(tmp_path):
+    from vimoclip_tpu.cli.h5_structure_checker import main as checker
+    from vimoclip_tpu.data import EmbeddingWriter
+
+    a, b, c = (str(tmp_path / f"{n}.h5") for n in "abc")
+    rng = np.random.default_rng(0)
+    for path, with_labels in [(a, True), (b, True), (c, False)]:
+        with EmbeddingWriter(path, embed_dim=8) as w:
+            w.write_video(
+                "v", rng.normal(size=(3, 8)),
+                labels=rng.normal(size=4) if with_labels else None,
+            )
+    assert checker([a, b]) == 0
+    assert checker([a, c]) == 1
+    assert checker([a, c, "--json"]) == 1
+
+
+def test_extract_frames_cli(tmp_path):
+    from vimoclip_tpu.cli.extract_frames import save_aligned_frames
+    from vimoclip_tpu.data.video_reader import write_video
+
+    rng = np.random.default_rng(1)
+    rgb = str(tmp_path / "rgb.mp4")
+    diff = str(tmp_path / "diff.mp4")
+    write_video(rgb, rng.integers(0, 256, (10, 32, 48, 3), dtype=np.uint8))
+    write_video(diff, rng.integers(0, 256, (9, 32, 48, 3), dtype=np.uint8))
+    saved = save_aligned_frames(
+        {"rgb": rgb, "frame_diff": diff}, str(tmp_path / "out"), num_frames=3
+    )
+    assert len(saved) == 6
+    assert all(os.path.exists(p) for p in saved)
+
+
+def test_benchmark_motion_section(tmp_path):
+    from vimoclip_tpu.cli.benchmark import _bench_motion
+    from vimoclip_tpu.data.video_reader import write_video
+
+    rng = np.random.default_rng(2)
+    vids = []
+    for i in range(2):
+        path = str(tmp_path / f"v{i}.mp4")
+        write_video(path, rng.integers(0, 256, (8, 32, 48, 3), dtype=np.uint8))
+        vids.append(path)
+    out = _bench_motion(vids, "frame_diff", str(tmp_path))
+    assert out["videos"] == 2
+    assert out["frames"] == 14  # 2 x (8-1)
+    assert out["fps"] > 0
+    assert "nonzero_frac" in out["output_stats"]
+
+
+def test_memory_monitor_samples():
+    import time
+
+    with MemoryMonitor(interval_s=0.01) as mem:
+        _ = np.zeros((1000, 1000))
+        time.sleep(0.05)
+    assert len(mem.samples_mb) >= 2
+    assert mem.peak_mb > 0
