@@ -48,7 +48,6 @@ def main(argv: list[str] | None = None) -> None:
     # student_best.pth; here CheckpointManager/best).
     model = StudentModel(vision_config=vision_config)
     import jax.numpy as jnp
-    import numpy as np
 
     dummy = jnp.zeros((1, 2, vision_config.image_size, vision_config.image_size, 3),
                       jnp.uint8)

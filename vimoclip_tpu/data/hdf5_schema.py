@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Iterator
+from typing import Any
 
 import h5py
 import numpy as np

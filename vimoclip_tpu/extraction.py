@@ -21,7 +21,7 @@ import logging
 import os
 import queue
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from vimoclip_tpu.data.hdf5_schema import AsyncWriter, EmbeddingWriter
-from vimoclip_tpu.data.video_reader import iter_video_chunks, video_frame_count
+from vimoclip_tpu.data.video_reader import iter_video_chunks
 from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
 from vimoclip_tpu.ops.preprocess import clip_preprocess
 

@@ -1,0 +1,164 @@
+r"""End-to-end serving: raw video in, action predictions out.
+
+The reference has NO single-video inference path — producing a prediction
+requires manually chaining three offline stages through HDF5 files
+(SURVEY.md §1). For production deployment this module fuses the full
+ViMoCLIP cascade into one in-process predictor:
+
+  RGB video --> CLIP teacher ViT  --------------------\
+      \--> frame-diff (on-device XLA op)               +--> TFAM fusion
+           --> MoCLIP student ViT  -------------------/       --> sigmoid top-k
+
+- every stage is a jit-compiled TPU program; frames cross the PCIe/ICI
+  boundary once, as uint8;
+- the motion modality defaults to the on-device frame-diff of the RGB frames
+  (the fully in-repo path, SURVEY.md §7); precomputed flow videos can be
+  passed instead;
+- TFAM runs with the Pallas flash-attention kernel (deterministic serving);
+- variable video lengths are bucketed so a handful of compiled programs
+  serve any input.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vimoclip_tpu.config import TFAMModelConfig
+from vimoclip_tpu.data.video_reader import read_video
+from vimoclip_tpu.models import TFAM
+from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+from vimoclip_tpu.ops.preprocess import clip_preprocess, frame_diff
+
+
+@dataclasses.dataclass
+class Prediction:
+    video_id: str
+    top_classes: list[tuple[int, str, float]]  # (class_id, name, probability)
+    probabilities: np.ndarray  # (num_classes,)
+
+
+def _bucket(n: int, bucket: int, cap: int) -> int:
+    return min(((n + bucket - 1) // bucket) * bucket, cap)
+
+
+class ViMoCLIPPredictor:
+    def __init__(
+        self,
+        teacher_params: dict,
+        teacher_config: ClipVisionConfig,
+        student_params: dict,
+        student_config: ClipVisionConfig,
+        tfam_params: dict,
+        tfam_config: TFAMModelConfig | None = None,
+        num_classes: int = 140,
+        class_names: dict[int, str] | None = None,
+        frame_batch: int = 128,
+        length_bucket: int = 128,
+        max_seq_len: int = 2048,
+        half_precision: bool = True,
+    ):
+        self.num_classes = num_classes
+        self.class_names = class_names or {}
+        self.frame_batch = frame_batch
+        self.length_bucket = length_bucket
+        self.max_seq_len = max_seq_len
+        dtype = jnp.bfloat16 if half_precision else jnp.float32
+        tfam_config = tfam_config or TFAMModelConfig(attention_impl="flash")
+
+        teacher = ClipVisionEncoder(teacher_config, dtype=dtype)
+        student = ClipVisionEncoder(student_config, dtype=dtype)
+        # exporters feed TFAM the raw student tower output (inference.py:106)
+        student_tower = student_params.get("visual_encoder", student_params)
+        tfam = TFAM(config=tfam_config, num_classes=num_classes)
+
+        def _make_embed(enc, params, image_size):
+            @jax.jit
+            def embed(frames):  # (N, H, W, 3) uint8, N == frame_batch
+                pixels = clip_preprocess(frames, image_size, dtype=dtype)
+                return enc.apply({"params": params}, pixels).astype(jnp.float32)
+
+            return embed
+
+        self._teacher_embed = _make_embed(
+            teacher, teacher_params, teacher_config.image_size
+        )
+        self._student_embed = _make_embed(
+            student, student_tower, student_config.image_size
+        )
+
+        @jax.jit
+        def fuse(rgb_emb, motion_emb, mask_rgb, mask_motion):
+            logits = tfam.apply(
+                {"params": tfam_params}, rgb_emb, motion_emb,
+                mask_rgb, mask_motion, deterministic=True,
+            )
+            return jax.nn.sigmoid(logits)
+
+        self._fuse = fuse
+
+    # ------------------------------------------------------------------
+    def _embed_frames(self, embed_fn, frames: np.ndarray) -> np.ndarray:
+        """Batch arbitrary-length frame stacks through a fixed-shape program."""
+        out = []
+        for i in range(0, len(frames), self.frame_batch):
+            chunk = frames[i : i + self.frame_batch]
+            n = len(chunk)
+            if n < self.frame_batch:
+                pad = np.zeros((self.frame_batch - n,) + chunk.shape[1:], chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            out.append(np.asarray(embed_fn(jnp.asarray(chunk)))[:n])
+        return np.concatenate(out) if out else np.zeros((0, 512), np.float32)
+
+    def embed_video(self, frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(T, H, W, 3) uint8 -> (rgb_emb (T, D), motion_emb (T-1, D))."""
+        rgb_emb = self._embed_frames(self._teacher_embed, frames)
+        motion = np.asarray(frame_diff(jnp.asarray(frames)))
+        motion_emb = self._embed_frames(self._student_embed, motion)
+        return rgb_emb, motion_emb
+
+    def predict_embeddings(
+        self,
+        rgb_emb: np.ndarray,
+        motion_emb: np.ndarray,
+        video_id: str = "",
+        top_k: int = 5,
+    ) -> Prediction:
+        t_r = _bucket(len(rgb_emb), self.length_bucket, self.max_seq_len)
+        t_m = _bucket(len(motion_emb), self.length_bucket, self.max_seq_len)
+        rgb = np.zeros((1, t_r, rgb_emb.shape[1]), np.float32)
+        mot = np.zeros((1, t_m, motion_emb.shape[1]), np.float32)
+        rgb[0, : len(rgb_emb)] = rgb_emb[:t_r]
+        mot[0, : len(motion_emb)] = motion_emb[:t_m]
+        mask_r = np.arange(t_r)[None, :] < min(len(rgb_emb), t_r)
+        mask_m = np.arange(t_m)[None, :] < min(len(motion_emb), t_m)
+        probs = np.asarray(
+            self._fuse(jnp.asarray(rgb), jnp.asarray(mot),
+                       jnp.asarray(mask_r), jnp.asarray(mask_m))
+        )[0]
+        order = np.argsort(probs)[::-1][:top_k]
+        top = [
+            (int(c), self.class_names.get(int(c), f"class_{c}"), float(probs[c]))
+            for c in order
+        ]
+        return Prediction(video_id=video_id, top_classes=top, probabilities=probs)
+
+    def predict(
+        self,
+        video_path: str,
+        motion_video_path: str | None = None,
+        top_k: int = 5,
+        max_frames: int | None = None,
+    ) -> Prediction:
+        """Full cascade on one video file."""
+        frames = read_video(video_path, max_frames=max_frames)
+        rgb_emb = self._embed_frames(self._teacher_embed, frames)
+        if motion_video_path is not None:
+            motion = read_video(motion_video_path, max_frames=max_frames)
+        else:
+            motion = np.asarray(frame_diff(jnp.asarray(frames)))
+        motion_emb = self._embed_frames(self._student_embed, motion)
+        return self.predict_embeddings(rgb_emb, motion_emb, video_path, top_k)

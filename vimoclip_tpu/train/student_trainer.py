@@ -93,9 +93,11 @@ class StudentTrainer:
             train_dataset, batch_size, collate_segments, shuffle=True,
             drop_last=True, seed=seed, num_workers=num_workers,
         )
+        # drop_last on eval too: a tail batch smaller than the data-parallel
+        # axis cannot be sharded (losses are batch-averaged either way).
         self.val_loader = BatchLoader(
             val_dataset, batch_size, collate_segments, shuffle=False,
-            num_workers=num_workers,
+            drop_last=True, num_workers=num_workers,
         )
 
         params = self._init_params(pretrained_params, train_dataset)

@@ -39,7 +39,6 @@ from vimoclip_tpu.parallel import (
     TFAM_PARTITION_RULES,
     batch_sharding,
     create_mesh,
-    partition_params,
     shard_params,
 )
 from vimoclip_tpu.prng import KeyChain
