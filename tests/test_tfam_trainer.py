@@ -102,3 +102,54 @@ def test_tfam_trainer_resume(config, tmp_path, mesh8):
     )
     trainer2.train()
     assert int(trainer2.state.step) == 2 * step_after_1
+
+
+def test_tester_loads_reference_torch_checkpoint(config, tmp_path, mesh8):
+    """A reference-format best_model.pth (DataParallel 'module.' prefixed
+    state_dict inside a training-state dict) must load and evaluate."""
+    import torch
+    import torch.nn as nn
+
+
+    trainer = TFAMTrainer(
+        config, log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"), mesh=mesh8,
+    )
+    # Build a torch oracle with matching geometry (D=32 here vs test_tfam's
+    # D=64), so craft a state dict directly from our own params is complex;
+    # instead train 0 epochs and produce a torch state dict from a fresh
+    # torch model of the right shape.
+    torch.manual_seed(0)
+    d, heads, layers, ff, classes = 32, 4, 1, 64, 6
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.self_attn = nn.MultiheadAttention(d, heads, batch_first=True)
+            self.cross_attn = nn.MultiheadAttention(d, heads, batch_first=True)
+            self.ffn = nn.Sequential(nn.Linear(d, ff), nn.ReLU(), nn.Dropout(0.0),
+                                     nn.Linear(ff, d), nn.Dropout(0.0))
+            self.norm_self = nn.LayerNorm(d)
+            self.norm_cross = nn.LayerNorm(d)
+            self.norm_ffn = nn.LayerNorm(d)
+
+    class Ref(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = nn.ModuleList([Block() for _ in range(layers)])
+            self.classifier = nn.Sequential(
+                nn.LayerNorm(d), nn.Linear(d, d // 2), nn.GELU(),
+                nn.Dropout(0.0), nn.Linear(d // 2, classes))
+            self.projection_layer = nn.Linear(2 * d, d)
+
+    ref = Ref()
+    ckpt_path = str(tmp_path / "best_model.pth")
+    torch.save(
+        {"epoch": 3,
+         "state_dict": {f"module.{k}": v for k, v in ref.state_dict().items()}},
+        ckpt_path,
+    )
+    tester = TFAMTester(trainer, results_dir=str(tmp_path / "res"))
+    tester.load_torch_checkpoint(ckpt_path)
+    results = tester.evaluate(save_predictions=False, top_k=2)
+    assert 0.0 <= results["metrics"]["mAP"] <= 1.0

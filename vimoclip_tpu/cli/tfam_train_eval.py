@@ -22,6 +22,9 @@ def main(argv: list[str] | None = None) -> None:
                         help="path to YAML config")
     parser.add_argument("--run-name", type=str, default=None,
                         help="run directory name (default: timestamp)")
+    parser.add_argument("--torch-checkpoint", type=str, default=None,
+                        help="evaluate a reference-trained best_model.pth "
+                             "instead of this run's Orbax checkpoint")
     args = parser.parse_args(argv)
 
     config = load_experiment_config(args.config)
@@ -37,7 +40,10 @@ def main(argv: list[str] | None = None) -> None:
 
     if config.training.mode in ("test", "both"):
         tester = TFAMTester(trainer)
-        tester.load_best()
+        if args.torch_checkpoint:
+            tester.load_torch_checkpoint(args.torch_checkpoint)
+        else:
+            tester.load_best()
         tester.evaluate(save_predictions=True, top_k=5)
 
 

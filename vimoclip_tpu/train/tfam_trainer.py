@@ -43,7 +43,7 @@ from vimoclip_tpu.parallel import (
 )
 from vimoclip_tpu.prng import KeyChain
 from vimoclip_tpu.train.state import CheckpointManager, TrainState, cosine_annealing_schedule, make_adamw
-from vimoclip_tpu.utils.logging import StepTimer, SummaryWriter
+from vimoclip_tpu.utils.logging import StepTimer, SummaryWriter, progress
 
 
 def _make_metric(config: ExperimentConfig):
@@ -178,12 +178,16 @@ class TFAMTrainer:
         self.train_loader.set_epoch(epoch)
         total_loss, n = 0.0, 0
         timer = StepTimer()
-        for batch in prefetch_to_device(self.train_loader, sharding=self.batch_sharding):
+        batches = prefetch_to_device(self.train_loader, sharding=self.batch_sharding)
+        last_logits = last_labels = None
+        for batch in progress(batches, desc=f"epoch {epoch+1}",
+                              total=len(self.train_loader)):
             key = self.keys("dropout", int(self.state.step))
             arrays = {k: v for k, v in batch.items() if k != "video_id"}
             self.state, loss, logits = self._train_step(self.state, arrays, key)
             total_loss += float(loss)
             n += 1
+            last_logits, last_labels = logits, batch["labels"]
             self.metric.update(np.asarray(logits), np.asarray(batch["labels"]))
             timer.tick(batch["labels"].shape[0])
         train_loss = total_loss / max(n, 1)
@@ -191,6 +195,9 @@ class TFAMTrainer:
         self.writer.add_scalar("Loss/train", train_loss, epoch)
         self.writer.add_scalar("mAP/train", train_metric, epoch)
         self.writer.add_scalar("perf/train_clips_per_sec", timer.examples_per_sec, epoch)
+        if last_logits is not None:  # final-batch dumps, reference train.py:148-153
+            self.writer.add_histogram("train/final_batch_logits", np.asarray(last_logits), epoch)
+            self.writer.add_histogram("train/final_batch_labels", np.asarray(last_labels), epoch)
         return train_loss, train_metric
 
     def validate(self, epoch: int | None = None) -> tuple[float, float]:
@@ -255,6 +262,29 @@ class TFAMTester:
     def load_best(self) -> None:
         self.t.state, _ = self.t.ckpt.restore(self.t.state, "best")
         logging.info("best model loaded from %s", self.t.ckpt.directory)
+
+    def load_torch_checkpoint(self, path: str) -> None:
+        """Evaluate a REFERENCE-trained checkpoint (best_model.pth,
+        train_and_eval.py:133-149) with this stack: torch state dict ->
+        numpy -> tfam_params_from_torch. Requires torch importable (offline
+        tool path, never the TPU hot loop)."""
+        import torch
+
+        from vimoclip_tpu.models.torch_compat import strip_prefix, tfam_params_from_torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        state = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+        state = strip_prefix({k: v.numpy() for k, v in state.items()})
+        params = tfam_params_from_torch(
+            state,
+            num_layers=self.t.config.model.num_layers,
+            d_model=self.t.config.model.d_model,
+        )
+        from vimoclip_tpu.parallel import TFAM_PARTITION_RULES, shard_params
+
+        params = shard_params(params, TFAM_PARTITION_RULES, self.t.mesh)
+        self.t.state = self.t.state.replace(params=params)
+        logging.info("reference torch checkpoint loaded from %s", path)
 
     def evaluate(self, save_predictions: bool = False, top_k: int = 5) -> dict:
         self.t.metric.reset()

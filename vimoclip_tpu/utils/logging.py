@@ -43,9 +43,30 @@ class SummaryWriter:
         if self._writer is not None:
             self._writer.add_scalar(tag, float(value), int(step))
 
+    def add_histogram(self, tag: str, values, step: int) -> None:
+        """Logits/label histograms, reference train.py:148-153."""
+        if self._writer is not None:
+            import numpy as np
+
+            self._writer.add_histogram(tag, np.asarray(values), int(step))
+
     def close(self) -> None:
         if self._writer is not None:
             self._writer.close()
+
+
+def progress(iterable, desc: str = "", total: int | None = None):
+    """tqdm progress bar (reference trainers use tqdm with live postfix);
+    silent when stderr isn't a terminal (tests, batch jobs)."""
+    import sys
+
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, desc=desc, total=total,
+                    disable=not sys.stderr.isatty())
+    except ImportError:
+        return iterable
 
 
 class StepTimer:
