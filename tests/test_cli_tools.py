@@ -100,3 +100,13 @@ def test_memory_monitor_samples():
         time.sleep(0.05)
     assert len(mem.samples_mb) >= 2
     assert mem.peak_mb > 0
+
+
+def test_example_configs_load():
+    for name in ("example_ak_frame_diff.yaml", "example_mammalnet.yaml"):
+        cfg = load_experiment_config(os.path.join("configs", name))
+        assert cfg.model.d_model == 512
+        assert cfg.training.lr == 1e-4
+    mn = load_experiment_config("configs/example_mammalnet.yaml")
+    assert mn.training.loss == "ce" and mn.training.metric == "accuracy"
+    assert mn.data.num_classes == 12
