@@ -71,3 +71,10 @@ def test_partition_params_returns_shardings(mesh8):
     params = {"ffn_dense1": {"kernel": jnp.zeros((8, 16))}}
     sh = partition_params(params, TFAM_PARTITION_RULES, mesh8)
     assert isinstance(sh["ffn_dense1"]["kernel"], NamedSharding)
+
+
+def test_local_batch_slice_single_process():
+    from vimoclip_tpu.parallel import local_batch_slice
+
+    s = local_batch_slice(32)
+    assert s == slice(0, 32)  # single-process: the whole batch

@@ -20,6 +20,8 @@ over the (data, model) mesh.
 
 from __future__ import annotations
 
+import functools
+
 import logging
 import time
 
@@ -141,7 +143,7 @@ class StudentTrainer:
         return d_loss, c_loss
 
     def _build_train_step(self):
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: dict):
             def loss_fn(params):
                 d_loss, c_loss = self._losses(params, batch)

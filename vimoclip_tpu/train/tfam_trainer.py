@@ -19,6 +19,8 @@ device double-buffered. Orbax checkpoints support true resume.
 
 from __future__ import annotations
 
+import functools
+
 import json
 import logging
 import os
@@ -147,7 +149,7 @@ class TFAMTrainer:
     def _build_train_step(self):
         loss_fn = self.loss_fn
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: dict, dropout_key) -> tuple:
             def compute_loss(params):
                 logits = self._apply(
