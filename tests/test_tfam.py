@@ -222,3 +222,19 @@ def test_tfam_flash_attention_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_flash), np.asarray(out_xla), rtol=1e-4, atol=1e-5
     )
+
+
+def test_tfam_bf16_close_to_f32():
+    rgb, motion, mask_rgb, mask_flow = _inputs(seed=12)
+    args = (jnp.asarray(rgb), jnp.asarray(motion), jnp.asarray(mask_rgb),
+            jnp.asarray(mask_flow))
+    cfg = _config("cross")
+    model32 = TFAM(config=cfg, num_classes=CLASSES)
+    params = model32.init(jax.random.key(0), *args)["params"]
+    out32 = np.asarray(model32.apply({"params": params}, *args, deterministic=True))
+    model16 = TFAM(config=cfg, num_classes=CLASSES, dtype=jnp.bfloat16)
+    out16 = np.asarray(
+        model16.apply({"params": params}, *args, deterministic=True)
+    ).astype(np.float32)
+    assert np.abs(out32 - out16).max() < 0.15  # bf16 matmul rounding
+    assert np.corrcoef(out32.ravel(), out16.ravel())[0, 1] > 0.999

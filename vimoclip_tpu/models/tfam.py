@@ -63,6 +63,7 @@ class AttentionLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"  # reference AttentionLayer default (AMO_CLIP.py:13)
     attention_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 matmuls; params f32)
 
     @nn.compact
     def __call__(
@@ -78,14 +79,16 @@ class AttentionLayer(nn.Module):
 
         attn_out = MultiHeadAttention(
             self.d_model, self.num_heads, dropout=self.dropout,
-            implementation=self.attention_impl, name="self_attn"
+            dtype=self.dtype, implementation=self.attention_impl,
+            name="self_attn"
         )(x, key_padding_mask=src_key_padding_mask, deterministic=deterministic)
         x = ln("norm_self")(x + drop(attn_out))
 
         if cross_src is not None:
             attn_out = MultiHeadAttention(
                 self.d_model, self.num_heads, dropout=self.dropout,
-                implementation=self.attention_impl, name="cross_attn"
+                dtype=self.dtype, implementation=self.attention_impl,
+                name="cross_attn"
             )(
                 x,
                 kv=cross_src,
@@ -94,10 +97,10 @@ class AttentionLayer(nn.Module):
             )
             x = ln("norm_cross")(x + drop(attn_out))
 
-        h = nn.Dense(self.dim_feedforward, name="ffn_dense1")(x)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="ffn_dense1")(x)
         h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
         h = drop(h)
-        h = nn.Dense(self.d_model, name="ffn_dense2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn_dense2")(h)
         h = drop(h)
         x = ln("norm_ffn")(x + drop(h))
         return x
@@ -108,6 +111,7 @@ class TFAM(nn.Module):
 
     config: TFAMModelConfig
     num_classes: int = 140
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -144,6 +148,7 @@ class TFAM(nn.Module):
                 dropout=cfg.dropout,
                 activation=cfg.activation,
                 attention_impl=cfg.attention_impl,
+                dtype=self.dtype,
                 name=f"layers_{i}",
             )
             for i in range(cfg.num_layers)

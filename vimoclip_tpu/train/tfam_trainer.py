@@ -72,7 +72,10 @@ class TFAMTrainer:
         self.mesh = mesh if mesh is not None else create_mesh(
             MeshConfig(config.training.data_parallel, config.training.model_parallel)
         )
-        self.model = TFAM(config=config.model, num_classes=config.num_classes)
+        self.model = TFAM(
+            config=config.model, num_classes=config.num_classes,
+            dtype=jnp.bfloat16 if config.training.half_precision else jnp.float32,
+        )
         self.keys = KeyChain(config.training.seed)
         self.metric = _make_metric(config)
         self.loss_fn = _loss_fn_for(config)
