@@ -123,6 +123,12 @@ class StudentTrainer:
         if pretrained is not None:
             # CLIP-initialise the backbone (reference loads clip.load weights,
             # student_model.py:44); distill/head branches keep fresh init.
+            # Deep-copy: the train step donates state buffers, and aliasing
+            # the caller's arrays into state would delete them out from under
+            # the caller (e.g. a teacher that keeps using the same weights).
+            pretrained = jax.tree.map(
+                lambda x: jnp.array(x, copy=True), pretrained
+            )
             params = dict(params, visual_encoder=pretrained)
         return shard_params(params, STUDENT_PARTITION_RULES, self.mesh)
 
