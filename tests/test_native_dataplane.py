@@ -75,11 +75,14 @@ def test_open_failure_and_bad_file(tmp_path):
         native.read_video(str(bad))
 
 
-def test_video_reader_prefers_native(video, monkeypatch):
+def test_video_reader_native_opt_in(video, monkeypatch):
     from vimoclip_tpu.data import video_reader
 
     path, ref = video
+    monkeypatch.setenv("VIMO_NATIVE_DECODE", "1")
     got = video_reader.read_video(path)
     np.testing.assert_array_equal(got, ref)
     got_w = video_reader.read_video_window(path, 3, 4)
     np.testing.assert_array_equal(got_w, ref[3:7])
+    monkeypatch.setenv("VIMO_NATIVE_DECODE", "0")
+    np.testing.assert_array_equal(video_reader.read_video(path), ref)

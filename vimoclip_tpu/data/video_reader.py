@@ -24,6 +24,18 @@ import numpy as np
 
 
 def _native_backend():
+    """The C++ libav backend, when built AND opted in.
+
+    Opt-in (VIMO_NATIVE_DECODE=1) rather than default: on many-core hosts
+    its decode+convert pool wins, but OpenCV's SIMD YUV->RGB is ~3x faster
+    per core than swscale, so on small hosts (this dev box has 1 core)
+    OpenCV is the better default. Both produce bit-identical frames
+    (tests/test_native_dataplane.py).
+    """
+    import os
+
+    if os.environ.get("VIMO_NATIVE_DECODE", "0") != "1":
+        return None
     try:
         from vimoclip_tpu.data import native
 
