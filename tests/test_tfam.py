@@ -238,3 +238,34 @@ def test_tfam_bf16_close_to_f32():
     ).astype(np.float32)
     assert np.abs(out32 - out16).max() < 0.15  # bf16 matmul rounding
     assert np.corrcoef(out32.ravel(), out16.ravel())[0, 1] > 0.999
+
+
+@pytest.mark.parametrize("mode,concat_dim", [("cross", 1), ("rgb", 1),
+                                             ("concat", 1), ("concat", -1)])
+def test_tfam_bucket_padding_invariance(mode, concat_dim):
+    """XLA shape-bucket padding beyond the batch max must not change logits:
+    the reference pools (unmasked) over the batch-max padded layout, and our
+    pooling reproduces exactly that regardless of extra bucket pads."""
+    rgb, motion, mask_rgb, mask_flow = _inputs(seed=21)  # batchmax t=11/10
+    cfg = _config(mode, concat_dim)
+    model = TFAM(config=cfg, num_classes=CLASSES)
+    args_ref = (jnp.asarray(rgb), jnp.asarray(motion),
+                jnp.asarray(mask_rgb), jnp.asarray(mask_flow))
+    params = model.init(jax.random.key(3), *args_ref)["params"]
+    out_ref = model.apply({"params": params}, *args_ref, deterministic=True)
+
+    # bucket-pad both streams with zeros up to 16 (past the batch max)
+    def pad_to(a, t):
+        return np.concatenate(
+            [a, np.zeros((a.shape[0], t - a.shape[1]) + a.shape[2:], a.dtype)],
+            axis=1,
+        )
+
+    args_bucket = (
+        jnp.asarray(pad_to(rgb, 16)), jnp.asarray(pad_to(motion, 16)),
+        jnp.asarray(pad_to(mask_rgb, 16)), jnp.asarray(pad_to(mask_flow, 16)),
+    )
+    out_bucket = model.apply({"params": params}, *args_bucket, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_bucket), np.asarray(out_ref), rtol=1e-4, atol=1e-5
+    )

@@ -154,19 +154,37 @@ class TFAM(nn.Module):
             for i in range(cfg.num_layers)
         ]
 
-        pool_mask = None  # True = real; used only when cfg.masked_pooling
+        # Reference pooling is UNMASKED over the per-batch-max padded length
+        # (AMO_CLIP.py:170). Our sequences may carry extra XLA bucket padding
+        # beyond the batch max, so exact parity needs pooling limited to the
+        # positions the reference layout would contain: ``pool_limits``
+        # collects (segment_capacity, batch_max_length) pairs along the
+        # sequence; the mean runs over the first batch_max positions of each
+        # segment (real frames AND the reference's within-batch pads) and
+        # divides by the summed batch-max lengths.
+        def batch_max(mask, cap):
+            if mask is None:
+                return jnp.asarray(cap, jnp.int32)
+            return jnp.minimum(
+                jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1)), cap
+            )
+
+        pool_mask = None  # per-video validity; used when cfg.masked_pooling
         if cfg.use_only_rgb:
             x, pool_mask = rgb_emb, mask_rgb
+            pool_limits = [(x.shape[1], batch_max(mask_rgb, x.shape[1]))]
             for layer in layers:
                 x = layer(x, src_key_padding_mask=attn_rgb, deterministic=deterministic)
         elif cfg.use_only_flow:
             x, pool_mask = motion_emb, mask_flow
+            pool_limits = [(x.shape[1], batch_max(mask_flow, x.shape[1]))]
             for layer in layers:
                 x = layer(x, src_key_padding_mask=attn_flow, deterministic=deterministic)
         elif cfg.use_cross_attention:
             # Queries = RGB stream; keys/values = ORIGINAL motion embeddings
             # at every layer (AMO_CLIP.py:146-150).
             x, pool_mask = rgb_emb, mask_rgb
+            pool_limits = [(x.shape[1], batch_max(mask_rgb, x.shape[1]))]
             for layer in layers:
                 x = layer(
                     x,
@@ -177,21 +195,45 @@ class TFAM(nn.Module):
                 )
         else:
             # Self-attention over a concatenation; RGB drops its last frame to
-            # align with the T-1 motion frames (AMO_CLIP.py:153-154).
+            # align with the T-1 motion frames (AMO_CLIP.py:153-154). The
+            # reference truncates the BATCH-MAX layout, i.e. drops position
+            # batchmax-1 (the final real frame of full-length videos, a pad
+            # of shorter ones). Under bucket padding the batch max sits
+            # before the physical end, so positions >= batchmax-1 are masked
+            # out of the key set explicitly.
+            s1_cap = rgb_emb.shape[1] - 1
             rgb_emb = rgb_emb[:, :-1, :]
-            attn_rgb = None if attn_rgb is None else attn_rgb[:, :-1]
+            if attn_rgb is not None:
+                keep = jnp.arange(s1_cap) < (batch_max(mask_rgb, s1_cap + 1) - 1)
+                attn_rgb = attn_rgb[:, :-1] | ~keep[None, :]
             if cfg.concat_dim == 1:  # temporal concat
+                s1, s2 = rgb_emb.shape[1], motion_emb.shape[1]
                 x = jnp.concatenate([rgb_emb, motion_emb], axis=1)
                 attn_mask = (
                     None
                     if attn_rgb is None or attn_flow is None
                     else jnp.concatenate([attn_rgb, attn_flow], axis=1)
                 )
+                # reference segment lengths: (batchmax_rgb - 1) + batchmax_mot
+                lim1 = (
+                    jnp.asarray(s1, jnp.int32)
+                    if mask_rgb is None
+                    else jnp.minimum(batch_max(mask_rgb, s1 + 1) - 1, s1)
+                )
+                pool_limits = [(s1, lim1), (s2, batch_max(mask_flow, s2))]
             elif cfg.concat_dim == -1:  # channel concat + projection
-                x = jnp.concatenate([rgb_emb, motion_emb], axis=-1)
+                # bucket padding can leave the streams at different padded
+                # lengths; align to the common capacity (reference always has
+                # exactly T-1 == T-1 here)
+                common = min(rgb_emb.shape[1], motion_emb.shape[1])
+                rgb_emb = rgb_emb[:, :common]
+                motion_c = motion_emb[:, :common]
+                attn_flow_c = None if attn_flow is None else attn_flow[:, :common]
+                x = jnp.concatenate([rgb_emb, motion_c], axis=-1)
                 x = nn.Dense(cfg.d_model, name="projection_layer")(x)
                 # Reference keeps only the flow mask here (AMO_CLIP.py:160).
-                attn_mask = attn_flow
+                attn_mask = attn_flow_c
+                pool_limits = [(common, batch_max(mask_flow, common))]
             else:
                 raise ValueError(f"concat_dim must be 1 or -1, got {cfg.concat_dim}")
             pool_mask = None if attn_mask is None else ~attn_mask
@@ -202,8 +244,17 @@ class TFAM(nn.Module):
             m = pool_mask[..., None].astype(x.dtype)
             pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
         else:
-            # Reference parity: pads included in the mean (AMO_CLIP.py:170).
-            pooled = jnp.mean(x, axis=1)
+            # Reference-exact unmasked mean: include the first batch_max
+            # positions of each segment, divide by their sum.
+            include = []
+            denom = jnp.asarray(0, jnp.int32)
+            for cap, limit in pool_limits:
+                include.append(jnp.arange(cap) < limit)
+                denom = denom + limit
+            inc = jnp.concatenate(include) if len(include) > 1 else include[0]
+            pooled = jnp.sum(
+                x * inc[None, :, None].astype(x.dtype), axis=1
+            ) / jnp.maximum(denom, 1).astype(x.dtype)
 
         h = nn.LayerNorm(epsilon=_LN_EPS, name="classifier_norm")(pooled)
         h = nn.Dense(cfg.d_model // 2, name="classifier_dense1")(h)
