@@ -48,7 +48,7 @@ def main() -> None:
     cfg = ClipVisionConfig.vit_b_16()  # AK teacher (extract_embeddings.py:17)
     enc = ClipVisionEncoder(cfg, dtype=jnp.bfloat16)
 
-    batch, iters = 256, 8
+    batch, iters = 128, 16
     frames = _make_frames(batch)
     params = enc.init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
