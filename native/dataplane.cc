@@ -260,26 +260,32 @@ long vimo_read_window(void* h, long start, long num, void* out) {
   long produced = 0;
   long fallback_idx = use_pts ? -1 : 0;
   bool eof_sent = false;
+  bool pkt_pending = false;  // packet read but not yet accepted by the codec
   ConvPool pool(d, buf, conv_threads());
   while (produced < num) {
-    int ret;
-    if (!eof_sent) {
-      ret = av_read_frame(d->fmt, d->pkt);
+    if (!eof_sent && !pkt_pending) {
+      int ret = av_read_frame(d->fmt, d->pkt);
       if (ret < 0) {
         avcodec_send_packet(d->codec, nullptr);  // flush
         eof_sent = true;
-        continue;
-      }
-      if (d->pkt->stream_index != d->stream_idx) {
+      } else if (d->pkt->stream_index != d->stream_idx) {
         av_packet_unref(d->pkt);
         continue;
+      } else {
+        pkt_pending = true;
       }
-      ret = avcodec_send_packet(d->codec, d->pkt);
-      av_packet_unref(d->pkt);
-      if (ret < 0 && ret != AVERROR(EAGAIN)) {
+    }
+    if (pkt_pending) {
+      int ret = avcodec_send_packet(d->codec, d->pkt);
+      if (ret == 0) {
+        av_packet_unref(d->pkt);
+        pkt_pending = false;
+      } else if (ret != AVERROR(EAGAIN)) {
+        av_packet_unref(d->pkt);
         pool.finish();
         return -2;
       }
+      // EAGAIN: keep the packet, drain frames below, resend next iteration.
     }
     while (true) {
       int r = avcodec_receive_frame(d->codec, d->frame);
@@ -301,14 +307,6 @@ long vimo_read_window(void* h, long start, long num, void* out) {
       }
       av_frame_unref(d->frame);
       if (produced == num) break;
-    }
-    if (eof_sent && produced < num) {
-      // flushed and drained
-      int r = avcodec_receive_frame(d->codec, d->frame);
-      if (r == AVERROR_EOF || r == AVERROR(EAGAIN)) {
-        pool.finish();
-        return produced;
-      }
     }
   }
   pool.finish();

@@ -104,10 +104,20 @@ class ExperimentConfig:
 
 def _build(cls, section: dict[str, Any] | None):
     section = dict(section or {})
-    fields = {f.name for f in dataclasses.fields(cls)}
-    known = {k: v for k, v in section.items() if k in fields}
-    # Tolerate reference-era extra keys (e.g. config_test.yaml's unused
-    # `testing:` block / `device`) without failing.
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    known = {}
+    for k, v in section.items():
+        # Tolerate reference-era extra keys (e.g. config_test.yaml's unused
+        # `testing:` block / `device`) without failing.
+        if k not in fields:
+            continue
+        # YAML parses exponent-form floats without a dot ("1e-4", "1e-6")
+        # as strings; coerce by declared field type.
+        if fields[k].type in ("float", float) and isinstance(v, str):
+            v = float(v)
+        if fields[k].type in ("int", int) and isinstance(v, str):
+            v = int(v)
+        known[k] = v
     return cls(**known)
 
 
@@ -115,8 +125,6 @@ def load_experiment_config(path: str) -> ExperimentConfig:
     with open(path, "r") as f:
         cfg = yaml.safe_load(f) or {}
     training = _build(TrainingConfig, cfg.get("training"))
-    if isinstance(training.lr, str):  # yaml "1e-4" parses as str
-        training.lr = float(training.lr)
     return ExperimentConfig(
         training=training,
         logging=_build(LoggingConfig, cfg.get("logging")),

@@ -25,6 +25,8 @@ import threading
 import numpy as np
 import h5py
 
+from vimoclip_tpu.ops.batching import round_up_bucket as _bucketed
+
 
 def sparse_sample_indices(total_frames: int, num_frames: int) -> np.ndarray:
     """torch.linspace(0, T-1, n).long() semantics (truncation toward zero)."""
@@ -108,14 +110,6 @@ def _pad_to(x: np.ndarray, length: int) -> np.ndarray:
         return x
     pad = np.zeros((length - x.shape[0],) + x.shape[1:], dtype=x.dtype)
     return np.concatenate([x, pad], axis=0)
-
-
-def _bucketed(length: int, bucket: int | None, cap: int | None = None) -> int:
-    if bucket:
-        length = ((length + bucket - 1) // bucket) * bucket
-    if cap:
-        length = min(length, cap)
-    return length
 
 
 def collate_pad(

@@ -103,11 +103,27 @@ def read_video(path: str, max_frames: int | None = None) -> np.ndarray:
     d = _Decoder(path)
     try:
         n = d.frame_count()
-        if max_frames is not None:
-            n = min(n, max_frames)
         if n <= 0:
-            n = 1 << 16  # unknown count: read until EOF cap
-        out = d.read_window(0, n)
+            # Unknown container frame count: stream in bounded windows until
+            # EOF instead of speculatively allocating a huge buffer.
+            chunks = []
+            got_total = 0
+            while max_frames is None or got_total < max_frames:
+                want = 512 if max_frames is None else min(512, max_frames - got_total)
+                chunk = d.read_window(got_total, want)
+                chunks.append(chunk)
+                got_total += chunk.shape[0]
+                if chunk.shape[0] < want:
+                    break
+            out = (
+                np.concatenate(chunks)
+                if chunks
+                else np.zeros((0, d.height, d.width, 3), np.uint8)
+            )
+        else:
+            if max_frames is not None:
+                n = min(n, max_frames)
+            out = d.read_window(0, n)
         if out.shape[0] == 0:
             raise IOError(f"no frames decoded from {path}")
         return out

@@ -29,7 +29,11 @@ import cv2
 import numpy as np
 
 from vimoclip_tpu.data.hdf5_schema import read_embeddings, read_labels, sequence_lengths
-from vimoclip_tpu.data.video_reader import read_video, read_video_window
+from vimoclip_tpu.data.video_reader import (
+    read_video,
+    read_video_window,
+    video_frame_count,
+)
 
 
 def build_segment_index(
@@ -97,6 +101,11 @@ class SegmentDataset:
             t = video.shape[0]
             start = min(start, max(t - 1, 0))  # clamp like dataset.py:112-113
             return video[start : min(start + n, t)]
+        # Uncached seek path: clamp the start the same way (the final padded
+        # RGB segment requests motion frames past the T-1 motion stream).
+        total = video_frame_count(path)
+        if total > 0:
+            start = min(start, total - 1)
         return read_video_window(path, start, n)
 
     def __getitem__(self, idx: int) -> dict:

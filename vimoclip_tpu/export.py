@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vimoclip_tpu.data.video_reader import iter_video_chunks
+from vimoclip_tpu.ops.batching import pad_to_batch
 from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
 from vimoclip_tpu.ops.preprocess import clip_preprocess
 
@@ -95,9 +96,8 @@ class MotionEmbeddingExporter:
 
     def _embed_chunk(self, frames: np.ndarray) -> np.ndarray:
         n = frames.shape[0]
-        if n < self.chunk_size:  # keep one compiled shape
-            pad = np.zeros((self.chunk_size - n,) + frames.shape[1:], frames.dtype)
-            frames = np.concatenate([frames, pad])
+        # pad the tail chunk so XLA keeps one compiled shape
+        frames = pad_to_batch(frames, self.chunk_size)
         return np.asarray(self._embed(jnp.asarray(frames)))[:n]
 
     def export(

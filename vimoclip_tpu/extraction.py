@@ -31,6 +31,7 @@ import pandas as pd
 from vimoclip_tpu.data.hdf5_schema import AsyncWriter, EmbeddingWriter
 from vimoclip_tpu.data.video_reader import iter_video_chunks
 from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+from vimoclip_tpu.ops.batching import pad_to_batch
 from vimoclip_tpu.ops.preprocess import clip_preprocess
 
 
@@ -139,11 +140,17 @@ class ClipExtractor:
         videos: list[tuple[str, str]],  # (video_id, path)
         on_video_done,  # callback(video_id, embeddings (T, D))
         frame_shape: tuple[int, int] | None = None,
+        frame_filter: dict[str, set] | None = None,
     ) -> dict[str, str]:
         """Run the pipeline; returns {video_id: error} for failed videos.
 
         ``frame_shape`` fixes (H, W); videos with other shapes are resized
         on host at decode time (rare — AK is uniformly 640x360).
+        ``frame_filter`` optionally maps video_id -> allowed global frame
+        indices; other frames are dropped BEFORE embedding (the reference
+        subsamples before running CLIP, extract_embeddings.py:77-84 — at
+        max_frames=50 on 450-frame clips this avoids embedding 89% of the
+        frames).
         """
         jobs: queue.Queue = queue.Queue()
         blocks: queue.Queue = queue.Queue(maxsize=self.frame_queue_blocks)
@@ -164,6 +171,7 @@ class ClipExtractor:
         import cv2
 
         pending: dict[str, list[np.ndarray]] = {}  # vid -> embedded frames
+        positions: dict[str, int] = {}  # vid -> decoded-frame offset
         final_seen: set[str] = set()
         finished = 0
         buf_frames: list[np.ndarray] = []
@@ -178,11 +186,7 @@ class ClipExtractor:
                 return
             stack = np.stack(buf_frames)
             n = stack.shape[0]
-            if n < self.batch_size:
-                pad = np.zeros(
-                    (self.batch_size - n,) + stack.shape[1:], dtype=stack.dtype
-                )
-                stack = np.concatenate([stack, pad])
+            stack = pad_to_batch(stack, self.batch_size)
             emb = np.asarray(self._embed(self.params, jnp.asarray(stack)))[:n]
             for vid, e in zip(buf_owner, emb):
                 pending.setdefault(vid, []).append(e)
@@ -215,6 +219,19 @@ class ClipExtractor:
                 continue
             if block.frames.size:
                 frames = block.frames
+                offset = positions.get(block.video_id, 0)
+                positions[block.video_id] = offset + len(frames)
+                if frame_filter is not None and block.video_id in frame_filter:
+                    allowed = frame_filter[block.video_id]
+                    keep = [
+                        i for i in range(len(frames)) if offset + i in allowed
+                    ]
+                    if not keep:
+                        if block.final:
+                            final_seen.add(block.video_id)
+                            finish_ready()
+                        continue
+                    frames = frames[keep]
                 if shape is None:
                     shape = frames.shape[1:3]
                 if frames.shape[1:3] != tuple(shape):
@@ -278,18 +295,34 @@ def create_hdf5_dataset(
     )
     extractor = ClipExtractor(params, config, batch_size=batch_size)
 
-    total_by_vid = {}
+    # Subsample BEFORE embedding when the container reports a frame count
+    # (reference computes indices first, extract_embeddings.py:77-84);
+    # videos with unknown counts fall back to post-hoc subsampling.
+    frame_filter: dict[str, set] = {}
+    container_total: dict[str, int] = {}
+    if max_frames is not None:
+        from vimoclip_tpu.data.video_reader import video_frame_count
+
+        for vid, path in videos:
+            total = video_frame_count(path)
+            if total > 0:
+                container_total[vid] = total
+                if total > max_frames:
+                    frame_filter[vid] = set(
+                        uniform_indices(total, max_frames).tolist()
+                    )
 
     def done(vid, emb):
-        if max_frames is not None:
-            idx = uniform_indices(len(emb), max_frames)
-            total = len(emb)
-            emb = emb[idx]
+        if max_frames is not None and vid not in frame_filter and len(emb) > max_frames:
+            total = container_total.get(vid, len(emb))
+            emb = emb[uniform_indices(len(emb), max_frames)]
         else:
-            total = len(emb)
+            total = container_total.get(vid, len(emb))
         writer.submit(vid, emb, labels_by_vid[vid], original_frames=total)
 
-    errors = extractor.extract(videos, done)
+    errors = extractor.extract(
+        videos, done, frame_filter=frame_filter or None
+    )
     writer.close()
     errors.update(skipped)
     return errors

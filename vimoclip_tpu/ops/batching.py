@@ -1,0 +1,43 @@
+"""Fixed-shape batching helpers shared by the extraction, export, and
+serving paths — XLA compiles one program per shape, so every variable-size
+workload is padded to a fixed batch (pad rows dropped on host) and sequence
+lengths round up to bucket boundaries."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def round_up_bucket(n: int, bucket: int | None, cap: int | None = None) -> int:
+    """Round ``n`` up to a multiple of ``bucket``, optionally capped."""
+    if bucket:
+        n = ((n + bucket - 1) // bucket) * bucket
+    if cap is not None:
+        n = min(n, cap)
+    return n
+
+
+def pad_to_batch(arr: np.ndarray, batch_size: int) -> np.ndarray:
+    """Zero-pad the leading axis up to ``batch_size`` (no-op when full)."""
+    n = arr.shape[0]
+    if n >= batch_size:
+        return arr
+    pad = np.zeros((batch_size - n,) + arr.shape[1:], dtype=arr.dtype)
+    return np.concatenate([arr, pad])
+
+
+def embed_in_fixed_batches(
+    embed_fn, frames: np.ndarray, batch_size: int, out_dim: int
+) -> np.ndarray:
+    """Run ``embed_fn`` (a jit program over exactly ``batch_size`` frames)
+    over an arbitrary-length frame stack; returns (len(frames), out_dim)."""
+    import jax.numpy as jnp
+
+    out = []
+    for i in range(0, len(frames), batch_size):
+        chunk = frames[i : i + batch_size]
+        n = len(chunk)
+        out.append(np.asarray(embed_fn(jnp.asarray(pad_to_batch(chunk, batch_size))))[:n])
+    return (
+        np.concatenate(out) if out else np.zeros((0, out_dim), np.float32)
+    )

@@ -26,11 +26,18 @@ def set_seed(seed: int = 0) -> jax.Array:
 
 class KeyChain:
     """Deterministic named key derivation: ``chain("dropout", step)`` always
-    yields the same key for the same (seed, name, step)."""
+    yields the same key for the same (seed, name, step) — across processes
+    (``hash()`` is PYTHONHASHSEED-randomized, so a stable digest is used)."""
 
     def __init__(self, seed: int):
         self._root = jax.random.key(seed)
 
+    @staticmethod
+    def _stable_id(name: str) -> int:
+        import hashlib
+
+        return int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "big")
+
     def __call__(self, name: str, index: int = 0) -> jax.Array:
-        folded = jax.random.fold_in(self._root, hash(name) & 0x7FFFFFFF)
+        folded = jax.random.fold_in(self._root, self._stable_id(name) & 0x7FFFFFFF)
         return jax.random.fold_in(folded, index)

@@ -31,6 +31,7 @@ from vimoclip_tpu.config import TFAMModelConfig
 from vimoclip_tpu.data.video_reader import read_video
 from vimoclip_tpu.models import TFAM
 from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+from vimoclip_tpu.ops.batching import embed_in_fixed_batches, round_up_bucket
 from vimoclip_tpu.ops.preprocess import clip_preprocess, frame_diff
 
 
@@ -39,10 +40,6 @@ class Prediction:
     video_id: str
     top_classes: list[tuple[int, str, float]]  # (class_id, name, probability)
     probabilities: np.ndarray  # (num_classes,)
-
-
-def _bucket(n: int, bucket: int, cap: int) -> int:
-    return min(((n + bucket - 1) // bucket) * bucket, cap)
 
 
 class ViMoCLIPPredictor:
@@ -73,7 +70,7 @@ class ViMoCLIPPredictor:
         student = ClipVisionEncoder(student_config, dtype=dtype)
         # exporters feed TFAM the raw student tower output (inference.py:106)
         student_tower = student_params.get("visual_encoder", student_params)
-        tfam = TFAM(config=tfam_config, num_classes=num_classes)
+        tfam = TFAM(config=tfam_config, num_classes=num_classes, dtype=dtype)
 
         def _make_embed(enc, params, image_size):
             @jax.jit
@@ -103,15 +100,7 @@ class ViMoCLIPPredictor:
     # ------------------------------------------------------------------
     def _embed_frames(self, embed_fn, frames: np.ndarray) -> np.ndarray:
         """Batch arbitrary-length frame stacks through a fixed-shape program."""
-        out = []
-        for i in range(0, len(frames), self.frame_batch):
-            chunk = frames[i : i + self.frame_batch]
-            n = len(chunk)
-            if n < self.frame_batch:
-                pad = np.zeros((self.frame_batch - n,) + chunk.shape[1:], chunk.dtype)
-                chunk = np.concatenate([chunk, pad])
-            out.append(np.asarray(embed_fn(jnp.asarray(chunk)))[:n])
-        return np.concatenate(out) if out else np.zeros((0, 512), np.float32)
+        return embed_in_fixed_batches(embed_fn, frames, self.frame_batch, 512)
 
     def embed_video(self, frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(T, H, W, 3) uint8 -> (rgb_emb (T, D), motion_emb (T-1, D))."""
@@ -127,8 +116,8 @@ class ViMoCLIPPredictor:
         video_id: str = "",
         top_k: int = 5,
     ) -> Prediction:
-        t_r = _bucket(len(rgb_emb), self.length_bucket, self.max_seq_len)
-        t_m = _bucket(len(motion_emb), self.length_bucket, self.max_seq_len)
+        t_r = round_up_bucket(len(rgb_emb), self.length_bucket, self.max_seq_len)
+        t_m = round_up_bucket(len(motion_emb), self.length_bucket, self.max_seq_len)
         rgb = np.zeros((1, t_r, rgb_emb.shape[1]), np.float32)
         mot = np.zeros((1, t_m, motion_emb.shape[1]), np.float32)
         rgb[0, : len(rgb_emb)] = rgb_emb[:t_r]
