@@ -269,3 +269,29 @@ def test_tfam_bucket_padding_invariance(mode, concat_dim):
     np.testing.assert_allclose(
         np.asarray(out_bucket), np.asarray(out_ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_torch_roundtrip_conversion():
+    """flax -> torch state dict -> flax must be the identity (enables
+    exporting TPU-trained TFAM models back to the reference format)."""
+    from vimoclip_tpu.models.torch_compat import (
+        tfam_params_from_torch,
+        tfam_params_to_torch,
+    )
+
+    rgb, motion, mask_rgb, mask_flow = _inputs(seed=31)
+    model = TFAM(config=_config("cross"), num_classes=CLASSES)
+    params = model.init(
+        jax.random.key(7), jnp.asarray(rgb), jnp.asarray(motion),
+        jnp.asarray(mask_rgb), jnp.asarray(mask_flow),
+    )["params"]
+    state = tfam_params_to_torch(params, num_layers=LAYERS)
+    back = tfam_params_from_torch(state, num_layers=LAYERS, d_model=D)
+
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    # classifier_* / projection keys exist in params but not cross-layer —
+    # compare the intersection, which must cover everything in `back`
+    assert set(flat_b).issubset(set(flat_a))
+    for path, leaf in flat_b.items():
+        np.testing.assert_array_equal(np.asarray(flat_a[path]), np.asarray(leaf))

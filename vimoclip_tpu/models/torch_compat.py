@@ -98,3 +98,50 @@ def residual_mlp_params_from_torch(state: Mapping[str, np.ndarray], prefix: str 
         "fc1": _linear(state, f"{prefix}.fc1"),
         "fc2": _linear(state, f"{prefix}.fc2"),
     }
+
+
+def tfam_params_to_torch(params: Mapping, num_layers: int = 4) -> dict:
+    """Reverse conversion: TFAM Flax params -> reference AMO_CLIP state-dict
+    layout (numpy values), so models trained here can be loaded by the
+    reference code (or any torch tooling) via
+    ``model.load_state_dict({k: torch.from_numpy(v) ...})``."""
+    out: dict[str, np.ndarray] = {}
+
+    def lin(flax_p, torch_name):
+        out[f"{torch_name}.weight"] = np.ascontiguousarray(
+            np.asarray(flax_p["kernel"]).T
+        )
+        out[f"{torch_name}.bias"] = np.asarray(flax_p["bias"])
+
+    def ln(flax_p, torch_name):
+        out[f"{torch_name}.weight"] = np.asarray(flax_p["scale"])
+        out[f"{torch_name}.bias"] = np.asarray(flax_p["bias"])
+
+    def mha(flax_p, torch_name):
+        w = np.concatenate(
+            [np.asarray(flax_p[p]["kernel"]).T for p in ("q_proj", "k_proj", "v_proj")],
+            axis=0,
+        )
+        b = np.concatenate(
+            [np.asarray(flax_p[p]["bias"]) for p in ("q_proj", "k_proj", "v_proj")]
+        )
+        out[f"{torch_name}.in_proj_weight"] = np.ascontiguousarray(w)
+        out[f"{torch_name}.in_proj_bias"] = b
+        lin(flax_p["out_proj"], f"{torch_name}.out_proj")
+
+    for i in range(num_layers):
+        layer = params[f"layers_{i}"]
+        mha(layer["self_attn"], f"layers.{i}.self_attn")
+        if "cross_attn" in layer:
+            mha(layer["cross_attn"], f"layers.{i}.cross_attn")
+            ln(layer["norm_cross"], f"layers.{i}.norm_cross")
+        lin(layer["ffn_dense1"], f"layers.{i}.ffn.0")
+        lin(layer["ffn_dense2"], f"layers.{i}.ffn.3")
+        ln(layer["norm_self"], f"layers.{i}.norm_self")
+        ln(layer["norm_ffn"], f"layers.{i}.norm_ffn")
+    ln(params["classifier_norm"], "classifier.0")
+    lin(params["classifier_dense1"], "classifier.1")
+    lin(params["classifier_dense2"], "classifier.4")
+    if "projection_layer" in params:
+        lin(params["projection_layer"], "projection_layer")
+    return out
