@@ -48,7 +48,7 @@ def main() -> None:
     cfg = ClipVisionConfig.vit_b_16()  # AK teacher (extract_embeddings.py:17)
     enc = ClipVisionEncoder(cfg, dtype=jnp.bfloat16)
 
-    batch, iters = 128, 16
+    batch, iters = 128, 8
     frames = _make_frames(batch)
     params = enc.init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -60,11 +60,20 @@ def main() -> None:
 
     @jax.jit
     def timed(params, raw):
-        def body(carry, _):
-            emb = one_batch(params, raw)
+        # The body must depend on the iteration index — with identical
+        # inputs every step XLA hoists the whole forward out of the scan and
+        # the "benchmark" measures one batch (observed: impossible 29k
+        # frames/s). Perturbing one pixel per step defeats the hoisting at
+        # one input-copy per iteration (~0.2 ms). (Scanning over a stack of
+        # distinct batches would be cleaner, but this rig's remote-compile
+        # service rejects programs that large with HTTP 413.)
+        def body(carry, i):
+            emb = one_batch(params, raw.at[0, 0, 0, 0].set(i))
             return carry + jnp.sum(emb.astype(jnp.float32)), None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(iters, dtype=jnp.uint8)
+        )
         return total
 
     dev_frames = jax.device_put(jnp.asarray(frames))

@@ -98,3 +98,23 @@ def test_bucketing_respects_max_seq_len(predictor):
     mot = np.random.default_rng(2).normal(size=(39, 16)).astype(np.float32)
     p = predictor.predict_embeddings(rgb, mot)
     assert p.probabilities.shape == (C,)
+
+
+def test_predict_batch_matches_single_for_longest(predictor, video, tmp_path):
+    """With reference (unmasked) pooling, logits of SHORTER videos depend on
+    the batch composition — exactly as in the reference (pads within the
+    batch max contribute to the mean, AMO_CLIP.py:170). The longest video of
+    the batch defines the batch max, so its prediction must equal the
+    single-video one; the short video's must differ (documenting the
+    preserved quirk). masked_pooling=True makes all of them composition-
+    invariant."""
+    rng = np.random.default_rng(9)
+    v2 = str(tmp_path / "clip2.mp4")
+    write_video(v2, rng.integers(0, 256, (9, 36, 48, 3), dtype=np.uint8))
+    singles = [predictor.predict(p) for p in (video, v2)]  # 13 and 9 frames
+    batch = predictor.predict_batch([video, v2])
+    assert len(batch) == 2
+    np.testing.assert_allclose(batch[0].probabilities, singles[0].probabilities,
+                               rtol=1e-4, atol=1e-5)
+    assert not np.allclose(batch[1].probabilities, singles[1].probabilities,
+                           atol=1e-5)

@@ -78,11 +78,15 @@ def _bench_tpu(batch: int, iters: int) -> dict:
 
     @jax.jit
     def extract(params, raw):
-        def body(c, _):
+        # iteration-dependent input defeats XLA's loop-invariant hoisting
+        # (see bench.py)
+        def body(c, i):
             emb = enc.apply({"params": params},
-                            clip_preprocess(raw, 224, dtype=jnp.bfloat16))
+                            clip_preprocess(raw.at[0, 0, 0, 0].set(i), 224,
+                                            dtype=jnp.bfloat16))
             return c + jnp.sum(emb.astype(jnp.float32)), None
-        return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+        return jax.lax.scan(body, jnp.float32(0),
+                            jnp.arange(iters, dtype=jnp.uint8))[0]
 
     float(extract(params, frames))  # compile
     dt = _timed_scalar_call(extract, params, frames)
@@ -99,10 +103,12 @@ def _bench_tpu(batch: int, iters: int) -> dict:
 
     @jax.jit
     def fuse(p, rgb, mot, mr, mf):
-        def body(c, _):
-            logits = model.apply({"params": p}, rgb, mot, mr, mf, deterministic=True)
+        def body(c, i):
+            logits = model.apply({"params": p}, rgb.at[0, 0, 0].set(i),
+                                 mot, mr, mf, deterministic=True)
             return c + jnp.sum(logits), None
-        return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+        return jax.lax.scan(body, jnp.float32(0),
+                            jnp.arange(iters, dtype=jnp.float32))[0]
 
     float(fuse(tparams, rgb, mot, mr, mf))
     dt = _timed_scalar_call(fuse, tparams, rgb, mot, mr, mf)

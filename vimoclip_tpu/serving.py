@@ -151,3 +151,45 @@ class ViMoCLIPPredictor:
             motion = np.asarray(frame_diff(jnp.asarray(frames)))
         motion_emb = self._embed_frames(self._student_embed, motion)
         return self.predict_embeddings(rgb_emb, motion_emb, video_path, top_k)
+
+    def predict_batch(
+        self,
+        video_paths: list[str],
+        top_k: int = 5,
+        max_frames: int | None = None,
+    ) -> list[Prediction]:
+        """Serve a batch of videos: frames of all clips share the embedding
+        batches, and the fusion step runs once over the padded batch."""
+        embs = []
+        for path in video_paths:
+            frames = read_video(path, max_frames=max_frames)
+            rgb = self._embed_frames(self._teacher_embed, frames)
+            motion = np.asarray(frame_diff(jnp.asarray(frames)))
+            embs.append((rgb, self._embed_frames(self._student_embed, motion)))
+
+        t_r = round_up_bucket(max(len(r) for r, _ in embs),
+                              self.length_bucket, self.max_seq_len)
+        t_m = round_up_bucket(max(len(m) for _, m in embs),
+                              self.length_bucket, self.max_seq_len)
+        b = len(embs)
+        d = embs[0][0].shape[1]
+        rgb = np.zeros((b, t_r, d), np.float32)
+        mot = np.zeros((b, t_m, d), np.float32)
+        mask_r = np.zeros((b, t_r), bool)
+        mask_m = np.zeros((b, t_m), bool)
+        for i, (r, m) in enumerate(embs):
+            nr, nm = min(len(r), t_r), min(len(m), t_m)
+            rgb[i, :nr], mot[i, :nm] = r[:nr], m[:nm]
+            mask_r[i, :nr] = mask_m[i, :nm] = True
+        probs = np.asarray(
+            self._fuse(jnp.asarray(rgb), jnp.asarray(mot),
+                       jnp.asarray(mask_r), jnp.asarray(mask_m))
+        )
+        out = []
+        for i, path in enumerate(video_paths):
+            order = np.argsort(probs[i])[::-1][:top_k]
+            top = [(int(c), self.class_names.get(int(c), f"class_{c}"),
+                    float(probs[i, c])) for c in order]
+            out.append(Prediction(video_id=path, top_classes=top,
+                                  probabilities=probs[i]))
+        return out
