@@ -142,3 +142,34 @@ def test_create_hdf5_dataset_max_frames(corpus, params, tmp_path):
         # v3 has 12 frames -> step=3 -> indices [0,3,6,9]
         assert f["v3.mp4"]["embeddings"].shape == (4, 16)
         assert f["v0.mp4"]["embeddings"].shape == (4, 16)  # 5 frames, step=1
+
+
+def test_extract_embeddings_cli_main(corpus, tmp_path):
+    """Drive the CLI main() in-process (CPU): torch checkpoint loading,
+    config inference, full pipeline, reference layout."""
+    import torch
+    from transformers import CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from vimoclip_tpu.cli.extract_embeddings import main
+
+    root, lengths = corpus
+    torch.manual_seed(1)
+    hf = CLIPVisionModelWithProjection(HFConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=1,
+        num_attention_heads=4, image_size=32, patch_size=8, projection_dim=16))
+    ckpt = str(tmp_path / "clip.pt")
+    torch.save(hf.state_dict(), ckpt)
+    out = str(tmp_path / "out.h5")
+    main([
+        "--data-root", root,
+        "--annotation-file", os.path.join(root, "train.txt"),
+        "--class-file", os.path.join(root, "classes.csv"),
+        "--output", out, "--clip-weights", ckpt,
+        "--batch-size", "8", "--split", "train", "--float32",
+    ])
+    with h5py.File(out, "r") as f:
+        assert f.attrs["num_classes"] == 4
+        groups = [k for k in f if isinstance(f[k], h5py.Group)]
+        assert len(groups) == 4
+        assert f["v0.mp4"]["embeddings"].shape == (5, 16)

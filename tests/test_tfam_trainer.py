@@ -153,3 +153,44 @@ def test_tester_loads_reference_torch_checkpoint(config, tmp_path, mesh8):
     tester.load_torch_checkpoint(ckpt_path)
     results = tester.evaluate(save_predictions=False, top_k=2)
     assert 0.0 <= results["metrics"]["mAP"] <= 1.0
+
+
+def test_tfam_trainer_mammalnet_variant(tmp_path, mesh8):
+    """Single-label configuration: CE loss + accuracy metric
+    (reference train_and_eval_frame_diff_MN.py)."""
+    rng = np.random.default_rng(5)
+    rgb_path, motion_path = str(tmp_path / "rgb.h5"), str(tmp_path / "mot.h5")
+    from vimoclip_tpu.data import EmbeddingWriter
+
+    centers = rng.normal(size=(4, D)).astype(np.float32)
+    with EmbeddingWriter(rgb_path, num_classes=4, embed_dim=D) as wr, \
+         EmbeddingWriter(motion_path, embed_dim=D) as wm:
+        for i in range(16):
+            t = int(rng.integers(6, 12))
+            cls = i % 4
+            lab = np.zeros(4, np.float32)
+            lab[cls] = 1
+            wr.write_video(f"v{i:02d}.mp4",
+                           centers[cls] + 0.2 * rng.normal(size=(t, D)).astype(np.float32),
+                           labels=lab)
+            wm.write_video(f"v{i:02d}",
+                           centers[cls] + 0.2 * rng.normal(size=(t - 1, D)).astype(np.float32))
+
+    config = ExperimentConfig(
+        training=TrainingConfig(epochs=3, batch_size=8, num_workers=1, lr=3e-3,
+                                seed=49, loss="ce", metric="accuracy"),
+        logging=LoggingConfig(),
+        data=DataConfig(num_classes=4, train_dataset_path=rgb_path,
+                        val_dataset_path=rgb_path, flow_dataset_path=motion_path,
+                        length_bucket=8),
+        model=TFAMModelConfig(d_model=D, nhead=4, num_layers=1,
+                              dim_feedforward=64, dropout=0.0, mlp_dropout=0.0),
+    )
+    trainer = TFAMTrainer(config, log_dir=str(tmp_path / "l"),
+                          checkpoint_dir=str(tmp_path / "c"), mesh=mesh8)
+    _, acc_before = trainer.validate()
+    best = trainer.train()
+    _, acc_after = trainer.validate()
+    assert acc_after >= acc_before
+    assert acc_after > 0.5  # learnable synthetic task
+    assert 0.0 <= best <= 1.0
