@@ -76,3 +76,41 @@ def test_fused_normalize_bf16_and_odd_rows():
         fused_normalize(jnp.asarray(imgs), dtype=jnp.bfloat16, interpret=True)
     ).astype(np.float32)
     assert np.abs(got - ref).max() < 0.02  # bf16 rounding
+
+
+def test_flash_attention_gradients_match_xla():
+    """Custom-VJP backward kernel must match XLA autodiff grads."""
+    q, k, v = _qkv(7, b=2, h=2, tq=70, tk=50, d=32)
+    b, _, tk, _ = k.shape
+    rng = np.random.default_rng(8)
+    lens = rng.integers(5, tk + 1, size=b)
+    ignore = jnp.asarray(np.arange(tk)[None, :] >= lens[:, None])
+
+    def loss_xla(q, k, v):
+        o = dot_product_attention(q, k, v, key_padding_mask=ignore)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, key_padding_mask=ignore, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_grad_zero_at_masked_keys():
+    q, k, v = _qkv(9, b=1, h=2, tq=16, tk=24, d=16)
+    ignore = jnp.asarray(np.arange(24)[None, :] >= 20)
+
+    def loss(k, v):
+        o = flash_attention(q, k, v, key_padding_mask=ignore, interpret=True)
+        return jnp.sum(o * o)
+
+    dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+    # masked keys receive no gradient
+    np.testing.assert_allclose(np.asarray(dk)[:, :, 20:, :], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dv)[:, :, 20:, :], 0.0, atol=1e-6)
+    assert float(jnp.abs(dk[:, :, :20]).max()) > 0
