@@ -110,3 +110,20 @@ def test_example_configs_load():
     mn = load_experiment_config("configs/example_mammalnet.yaml")
     assert mn.training.loss == "ce" and mn.training.metric == "accuracy"
     assert mn.data.num_classes == 12
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """jax.profiler trace context produces a trace directory (works on CPU)."""
+    import jax.numpy as jnp
+
+    from vimoclip_tpu.utils.profiling import annotate, trace
+
+    d = str(tmp_path / "traces")
+    with trace(d):
+        with annotate("smoke"):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    import glob
+
+    assert glob.glob(os.path.join(d, "**", "*.pb"), recursive=True) or \
+           glob.glob(os.path.join(d, "**", "*.json.gz"), recursive=True) or \
+           os.listdir(d)
