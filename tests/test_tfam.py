@@ -295,3 +295,38 @@ def test_torch_roundtrip_conversion():
     assert set(flat_b).issubset(set(flat_a))
     for path, leaf in flat_b.items():
         np.testing.assert_array_equal(np.asarray(flat_a[path]), np.asarray(leaf))
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_tfam_bucket_invariance_random_lengths(seed):
+    """Property test: for random per-video lengths, bucket-padded logits must
+    equal the reference batch-max layout in cross-attention mode."""
+    rng = np.random.default_rng(seed)
+    b = 4
+    lens = rng.integers(2, 12, size=b)
+    t = int(lens.max())
+    rgb = rng.normal(size=(b, t, D)).astype(np.float32)
+    motion = rng.normal(size=(b, t - 1, D)).astype(np.float32)
+    mask_rgb = np.arange(t)[None, :] < lens[:, None]
+    mask_flow = np.arange(t - 1)[None, :] < (lens - 1)[:, None]
+    rgb[~mask_rgb] = 0
+    motion[~mask_flow] = 0
+
+    model = TFAM(config=_config("cross"), num_classes=CLASSES)
+    args = (jnp.asarray(rgb), jnp.asarray(motion), jnp.asarray(mask_rgb),
+            jnp.asarray(mask_flow))
+    params = model.init(jax.random.key(seed), *args)["params"]
+    ref = model.apply({"params": params}, *args, deterministic=True)
+
+    pad = int(rng.integers(1, 9))
+    def padded(a, extra):
+        return np.concatenate(
+            [a, np.zeros((b, extra) + a.shape[2:], a.dtype)], axis=1)
+    got = model.apply(
+        {"params": params},
+        jnp.asarray(padded(rgb, pad)), jnp.asarray(padded(motion, pad + 1)),
+        jnp.asarray(padded(mask_rgb, pad)), jnp.asarray(padded(mask_flow, pad + 1)),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
