@@ -81,7 +81,7 @@ def test_train_trajectory_matches_torch():
             tl = criterion(out, torch.from_numpy(y))
             tl.backward()
             opt.step()
-            torch_losses.append(float(tl))
+            torch_losses.append(tl.detach().item())
         sched.step()
 
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-4, atol=2e-5)

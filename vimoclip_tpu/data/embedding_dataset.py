@@ -25,7 +25,7 @@ import threading
 import numpy as np
 import h5py
 
-from vimoclip_tpu.ops.batching import round_up_bucket as _bucketed
+from vimoclip_tpu.ops.batching import pad_to_batch, round_up_bucket as _bucketed
 
 
 def sparse_sample_indices(total_frames: int, num_frames: int) -> np.ndarray:
@@ -105,13 +105,6 @@ class PairedEmbeddingDataset:
         self._rgb_file = self._motion_file = None
 
 
-def _pad_to(x: np.ndarray, length: int) -> np.ndarray:
-    if x.shape[0] == length:
-        return x
-    pad = np.zeros((length - x.shape[0],) + x.shape[1:], dtype=x.dtype)
-    return np.concatenate([x, pad], axis=0)
-
-
 def collate_pad(
     items: list[dict], bucket: int | None = None, max_seq_len: int | None = None
 ) -> dict:
@@ -128,9 +121,9 @@ def collate_pad(
     lens_rgb = np.minimum(lens_rgb, t_rgb)
     lens_mot = np.minimum(lens_mot, t_mot)
 
-    rgb = np.stack([_pad_to(it["embeddings"][:t_rgb], t_rgb) for it in items])
+    rgb = np.stack([pad_to_batch(it["embeddings"][:t_rgb], t_rgb) for it in items])
     motion = np.stack(
-        [_pad_to(it["motion_embeddings"][:t_mot], t_mot) for it in items]
+        [pad_to_batch(it["motion_embeddings"][:t_mot], t_mot) for it in items]
     )
     labels = np.stack([it["labels"] for it in items])
     mask_rgb = np.arange(t_rgb)[None, :] < lens_rgb[:, None]

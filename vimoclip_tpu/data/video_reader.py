@@ -17,6 +17,7 @@ preprocessing ops consume directly.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import cv2
@@ -32,8 +33,6 @@ def _native_backend():
     OpenCV is the better default. Both produce bit-identical frames
     (tests/test_native_dataplane.py).
     """
-    import os
-
     if os.environ.get("VIMO_NATIVE_DECODE", "0") != "1":
         return None
     try:

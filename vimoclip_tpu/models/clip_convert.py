@@ -22,20 +22,14 @@ from typing import Mapping
 import numpy as np
 
 from vimoclip_tpu.models.clip_vit import ClipVisionConfig
+from vimoclip_tpu.models.torch_compat import (
+    _layernorm as _ln,
+    _linear as _lin,
+)
 
 
 def _t(w):  # torch Linear weight (out, in) -> flax kernel (in, out)
     return np.ascontiguousarray(np.asarray(w).T)
-
-
-def _ln(state, name):
-    return {"scale": np.asarray(state[f"{name}.weight"]),
-            "bias": np.asarray(state[f"{name}.bias"])}
-
-
-def _lin(state, name):
-    return {"kernel": _t(state[f"{name}.weight"]),
-            "bias": np.asarray(state[f"{name}.bias"])}
 
 
 def clip_vision_params_from_hf(

@@ -4,6 +4,7 @@ from vimoclip_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     local_batch_slice,
+    commit_replicated,
     initialize_distributed,
 )
 from vimoclip_tpu.parallel.partition import (  # noqa: F401

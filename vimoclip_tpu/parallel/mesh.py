@@ -89,6 +89,20 @@ def local_batch_slice(global_batch: int) -> slice:
     return slice(start, start + per_host)
 
 
+def commit_replicated(tree, mesh: Mesh):
+    """Commit every leaf without a NamedSharding (fresh scalars, optimizer
+    counters) as mesh-replicated, so restored checkpoints and fresh state
+    share identical device placement (mixing committed single-device arrays
+    with mesh-sharded ones fails under jit)."""
+    rep = replicated_sharding(mesh)
+    return jax.tree.map(
+        lambda x: x
+        if isinstance(getattr(x, "sharding", None), NamedSharding)
+        else jax.device_put(x, rep),
+        tree,
+    )
+
+
 def initialize_distributed() -> None:
     """Initialise multi-host JAX over DCN when launched under a cluster
     coordinator. No-op in single-process runs (the common case for v5e-8,

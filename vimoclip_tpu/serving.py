@@ -144,12 +144,12 @@ class ViMoCLIPPredictor:
     ) -> Prediction:
         """Full cascade on one video file."""
         frames = read_video(video_path, max_frames=max_frames)
-        rgb_emb = self._embed_frames(self._teacher_embed, frames)
-        if motion_video_path is not None:
-            motion = read_video(motion_video_path, max_frames=max_frames)
+        if motion_video_path is None:
+            rgb_emb, motion_emb = self.embed_video(frames)
         else:
-            motion = np.asarray(frame_diff(jnp.asarray(frames)))
-        motion_emb = self._embed_frames(self._student_embed, motion)
+            rgb_emb = self._embed_frames(self._teacher_embed, frames)
+            motion = read_video(motion_video_path, max_frames=max_frames)
+            motion_emb = self._embed_frames(self._student_embed, motion)
         return self.predict_embeddings(rgb_emb, motion_emb, video_path, top_k)
 
     def predict_batch(

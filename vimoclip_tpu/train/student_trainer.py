@@ -38,8 +38,8 @@ from vimoclip_tpu.parallel import (
     MeshConfig,
     STUDENT_PARTITION_RULES,
     batch_sharding,
+    commit_replicated,
     create_mesh,
-    replicated_sharding,
     shard_params,
 )
 from vimoclip_tpu.prng import KeyChain
@@ -104,14 +104,7 @@ class StudentTrainer:
 
         params = self._init_params(pretrained_params, train_dataset)
         tx = make_adam(lr, grad_clip=grad_clip)
-        state = TrainState.create(params, tx)
-        rep = replicated_sharding(self.mesh)
-        self.state = jax.tree.map(
-            lambda x: x
-            if isinstance(getattr(x, "sharding", None), jax.sharding.NamedSharding)
-            else jax.device_put(x, rep),
-            state,
-        )
+        self.state = commit_replicated(TrainState.create(params, tx), self.mesh)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 

@@ -125,21 +125,9 @@ class TFAMTrainer:
         )
         self._schedule = schedule
         tx = make_adamw(schedule, weight_decay=tcfg.weight_decay)
-        state = TrainState.create(params, tx)
-        # Commit every unsharded leaf (step, optimizer counters) as replicated
-        # on the mesh, so restored checkpoints and fresh state have identical
-        # device placement.
-        from jax.sharding import NamedSharding
+        from vimoclip_tpu.parallel import commit_replicated
 
-        from vimoclip_tpu.parallel import replicated_sharding
-
-        rep = replicated_sharding(self.mesh)
-        return jax.tree.map(
-            lambda x: x
-            if isinstance(getattr(x, "sharding", None), NamedSharding)
-            else jax.device_put(x, rep),
-            state,
-        )
+        return commit_replicated(TrainState.create(params, tx), self.mesh)
 
     def _apply(self, params, batch, deterministic, rngs=None):
         return self.model.apply(
