@@ -173,3 +173,28 @@ def test_extract_embeddings_cli_main(corpus, tmp_path):
         groups = [k for k in f if isinstance(f[k], h5py.Group)]
         assert len(groups) == 4
         assert f["v0.mp4"]["embeddings"].shape == (5, 16)
+
+
+def test_extractor_mixed_resolutions(tmp_path, params):
+    """Mixed-resolution corpus: frames are preprocessed at NATIVE size per
+    video (the reference's semantics), each resolution getting its own
+    compiled program — embeddings must match per-video direct forwards."""
+    rng = np.random.default_rng(4)
+    sizes = {"a.mp4": (36, 64), "b.mp4": (48, 40), "c.mp4": (36, 64)}
+    videos = []
+    for vid, (hgt, wid) in sizes.items():
+        path = str(tmp_path / vid)
+        write_video(path, rng.integers(0, 256, (6, hgt, wid, 3), dtype=np.uint8))
+        videos.append((vid, path))
+    extractor = ClipExtractor(params, CFG, batch_size=4, half_precision=False,
+                              decode_workers=2)
+    got = {}
+    errors = extractor.extract(videos, lambda vid, emb: got.__setitem__(vid, emb))
+    assert errors == {}
+    enc = ClipVisionEncoder(CFG)
+    for vid, path in videos:
+        frames = read_video(path)
+        ref = np.asarray(
+            enc.apply({"params": params}, clip_preprocess(jnp.asarray(frames), 32))
+        )
+        np.testing.assert_allclose(got[vid], ref, rtol=1e-4, atol=1e-5)

@@ -174,28 +174,30 @@ class ClipExtractor:
         positions: dict[str, int] = {}  # vid -> decoded-frame offset
         final_seen: set[str] = set()
         finished = 0
-        buf_frames: list[np.ndarray] = []
-        buf_owner: list[str] = []
-        shape = frame_shape
+        # Per-resolution frame buffers: mixed-resolution corpora (MammalNet)
+        # are preprocessed at NATIVE size like the reference (each resolution
+        # gets its own compiled program via jit's shape cache) instead of
+        # being host-resized through a second interpolation.
+        buffers: dict[tuple, tuple[list, list]] = {}  # (H, W) -> (frames, owners)
 
-        def flush() -> None:
-            """Embed the buffered frames as one fixed-size device batch
-            (tail padded to keep the compiled shape) and scatter results."""
-            nonlocal buf_frames, buf_owner
-            if not buf_frames:
+        def flush(shape_key) -> None:
+            """Embed one resolution's buffered frames as a fixed-size device
+            batch (tail padded to keep the compiled shape) and scatter."""
+            frames_l, owners = buffers.get(shape_key, ([], []))
+            if not frames_l:
                 return
-            stack = np.stack(buf_frames)
+            stack = np.stack(frames_l)
             n = stack.shape[0]
             stack = pad_to_batch(stack, self.batch_size)
             emb = np.asarray(self._embed(self.params, jnp.asarray(stack)))[:n]
-            for vid, e in zip(buf_owner, emb):
+            for vid, e in zip(owners, emb):
                 pending.setdefault(vid, []).append(e)
-            buf_frames, buf_owner = [], []
+            buffers[shape_key] = ([], [])
 
         def finish_ready() -> None:
             """Complete every video whose frames are all embedded."""
             nonlocal finished
-            in_buffer = set(buf_owner)
+            in_buffer = {o for _, owners in buffers.values() for o in owners}
             for vid in [v for v in final_seen if v not in in_buffer]:
                 final_seen.discard(vid)
                 if vid in errors:
@@ -232,23 +234,30 @@ class ClipExtractor:
                             finish_ready()
                         continue
                     frames = frames[keep]
-                if shape is None:
-                    shape = frames.shape[1:3]
-                if frames.shape[1:3] != tuple(shape):
+                if frame_shape is not None and frames.shape[1:3] != tuple(frame_shape):
                     frames = np.stack(
-                        [cv2.resize(f, (shape[1], shape[0])) for f in frames]
+                        [cv2.resize(f, (frame_shape[1], frame_shape[0]))
+                         for f in frames]
                     )
+                key = frames.shape[1:3]
+                buf_frames, buf_owner = buffers.setdefault(key, ([], []))
                 buf_frames.extend(frames)
                 buf_owner.extend([block.video_id] * len(frames))
+                while len(buf_frames) >= self.batch_size:
+                    buffers[key] = (
+                        buf_frames[: self.batch_size],
+                        buf_owner[: self.batch_size],
+                    )
+                    keep_f = buf_frames[self.batch_size:]
+                    keep_o = buf_owner[self.batch_size:]
+                    flush(key)
+                    buffers[key] = (keep_f, keep_o)
+                    buf_frames, buf_owner = keep_f, keep_o
             if block.final:
                 final_seen.add(block.video_id)
-            while len(buf_frames) >= self.batch_size:
-                keep_f, keep_o = buf_frames[self.batch_size:], buf_owner[self.batch_size:]
-                buf_frames, buf_owner = buf_frames[: self.batch_size], buf_owner[: self.batch_size]
-                flush()
-                buf_frames, buf_owner = keep_f, keep_o
             finish_ready()
-        flush()
+        for key in list(buffers):
+            flush(key)
         finish_ready()
         for t in workers:
             t.join()
