@@ -23,9 +23,15 @@ def test_mesh_geometry(mesh8):
 
 def test_mesh_config_validation():
     with pytest.raises(ValueError):
-        MeshConfig(data_parallel=3, model_parallel=2).resolve(8)
+        MeshConfig(data_parallel=5, model_parallel=2).resolve(8)  # 10 > 8
     assert MeshConfig(-1, 2).resolve(8) == (4, 2)
     assert MeshConfig(-1, 1).resolve(1) == (1, 1)
+    assert MeshConfig(3, 2).resolve(8) == (3, 2)  # subset mesh allowed
+
+
+def test_subset_mesh(devices):
+    mesh = create_mesh(MeshConfig(2, 1))
+    assert mesh.devices.shape == (2, 1)
 
 
 def test_batch_sharded_psum(mesh8):

@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--overwrite", action="store_true",
                    help="recreate output instead of resuming")
     p.add_argument("--resize", type=int, nargs=2, default=None, metavar=("H", "W"))
+    p.add_argument("--num-classes", type=int, default=140,
+                   help="classifier width the checkpoint was trained with "
+                        "(the head is not used for export, but the restore "
+                        "target must match the stored tree)")
     p.add_argument("--float32", action="store_true")
     args = p.parse_args(argv)
 
@@ -46,7 +50,8 @@ def main(argv: list[str] | None = None) -> None:
 
     # Restore the best student checkpoint (inference.py:79-87 loads
     # student_best.pth; here CheckpointManager/best).
-    model = StudentModel(vision_config=vision_config)
+    model = StudentModel(vision_config=vision_config,
+                         num_classes=args.num_classes)
     import jax.numpy as jnp
 
     dummy = jnp.zeros((1, 2, vision_config.image_size, vision_config.image_size, 3),

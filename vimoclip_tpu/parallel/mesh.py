@@ -44,9 +44,9 @@ class MeshConfig:
             if n_devices % mp:
                 raise ValueError(f"{n_devices} devices not divisible by model={mp}")
             dp = n_devices // mp
-        if dp * mp != n_devices:
+        if dp * mp > n_devices:
             raise ValueError(
-                f"mesh {dp}x{mp} != available device count {n_devices}"
+                f"mesh {dp}x{mp} exceeds available device count {n_devices}"
             )
         return dp, mp
 
@@ -57,12 +57,14 @@ def create_mesh(
     """Build a 2-D ``(data, model)`` mesh over the available devices.
 
     On a single chip this degenerates to a 1x1 mesh, so every code path in
-    the framework is mesh-aware with zero special-casing.
+    the framework is mesh-aware with zero special-casing. A mesh smaller
+    than the device count uses the first dp x mp devices (debug runs on a
+    slice of the topology).
     """
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
     dp, mp = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(dp, mp)
+    dev_array = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS))
 
 
