@@ -89,3 +89,24 @@ def test_collate_max_seq_len_caps_and_masks(tmp_path):
     # masks never exceed the capped length
     assert batch["mask_rgb"].sum(1).max() <= 8
     ds.close()
+
+
+def test_checkpoint_step_retention(tmp_path):
+    import jax.numpy as jnp
+    import optax
+
+    from vimoclip_tpu.train.state import CheckpointManager, TrainState
+
+    state = TrainState.create({"w": jnp.zeros(3)}, optax.sgd(0.1))
+    ckpt = CheckpointManager(str(tmp_path / "c"), keep_steps=2)
+    for step in (1, 2, 3, 4):
+        ckpt.save(state, f"step_{step}")
+    import os
+
+    steps = sorted(d for d in os.listdir(ckpt.directory) if d.startswith("step_"))
+    assert steps == ["step_3", "step_4"]
+    assert ckpt.latest_step_name() == "step_4"
+    # best is never pruned
+    ckpt.save_if_best(state, 0.5)
+    ckpt.save(state, "step_5")
+    assert os.path.isdir(os.path.join(ckpt.directory, "best"))

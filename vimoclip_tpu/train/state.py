@@ -94,11 +94,15 @@ class CheckpointManager:
     periodic full states for resume (reference train.py:167 saves per-epoch).
     """
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, keep_steps: int | None = None):
+        """``keep_steps``: retain only the newest N ``step_*`` checkpoints
+        (None = keep all, the reference's per-epoch behavior,
+        train.py:167)."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self.best_metric: float = -float("inf")
+        self.keep_steps = keep_steps
 
     def _payload(self, state: TrainState) -> dict:
         return {
@@ -115,6 +119,19 @@ class CheckpointManager:
         # array tree stays a clean Orbax pytree.
         with open(os.path.join(path, "extra.json"), "w") as f:
             json.dump(extra or {}, f)
+        if self.keep_steps is not None and name.startswith("step_"):
+            self._prune_steps()
+
+    def _prune_steps(self) -> None:
+        import shutil
+
+        steps = sorted(
+            (d for d in os.listdir(self.directory) if d.startswith("step_")
+             and os.path.isdir(os.path.join(self.directory, d))),
+            key=lambda s: int(s.split("_")[1]),
+        )
+        for stale in steps[: max(0, len(steps) - self.keep_steps)]:
+            shutil.rmtree(os.path.join(self.directory, stale), ignore_errors=True)
 
     def save_if_best(
         self, state: TrainState, metric: float, extra: dict | None = None

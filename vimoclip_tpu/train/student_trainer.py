@@ -44,7 +44,7 @@ from vimoclip_tpu.parallel import (
 )
 from vimoclip_tpu.prng import KeyChain
 from vimoclip_tpu.train.state import CheckpointManager, TrainState, make_adam
-from vimoclip_tpu.utils.logging import StepTimer, SummaryWriter
+from vimoclip_tpu.utils.logging import StepTimer, SummaryWriter, progress
 
 
 class StudentTrainer:
@@ -172,7 +172,9 @@ class StudentTrainer:
         sums = np.zeros(3)
         n = 0
         timer = StepTimer()
-        for batch in self._device_batches(self.train_loader):
+        batches = self._device_batches(self.train_loader)
+        for batch in progress(batches, desc=f"epoch {epoch+1}",
+                              total=len(self.train_loader)):
             self.state, total, d_loss, c_loss = self._train_step(self.state, batch)
             sums += [float(total), float(d_loss), float(c_loss)]
             n += 1
