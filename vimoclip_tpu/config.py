@@ -41,6 +41,9 @@ class TrainingConfig:
     model_parallel: int = 1
     half_precision: bool = False  # bfloat16 activations
     resume: bool = False  # true train-resume (reference never resumes, SURVEY §5)
+    # retain only the newest N step checkpoints (None = keep every epoch,
+    # the reference behavior, train.py:167)
+    keep_checkpoints: int | None = None
 
 
 @dataclasses.dataclass

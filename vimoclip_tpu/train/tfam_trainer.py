@@ -80,7 +80,9 @@ class TFAMTrainer:
         self.metric = _make_metric(config)
         self.loss_fn = _loss_fn_for(config)
         self.writer = SummaryWriter(log_dir)
-        self.ckpt = CheckpointManager(checkpoint_dir)
+        self.ckpt = CheckpointManager(
+            checkpoint_dir, keep_steps=config.training.keep_checkpoints
+        )
         self.batch_sharding = batch_sharding(self.mesh)
 
         dcfg = config.data
