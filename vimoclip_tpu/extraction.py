@@ -179,25 +179,41 @@ class ClipExtractor:
         # gets its own compiled program via jit's shape cache) instead of
         # being host-resized through a second interpolation.
         buffers: dict[tuple, tuple[list, list]] = {}  # (H, W) -> (frames, owners)
+        # One-deep device pipeline: flush() DISPATCHES the batch (JAX async)
+        # and the result is fetched only when the next batch is already in
+        # flight, so the device computes batch N while the host decodes and
+        # packs batch N+1.
+        import collections
+
+        inflight: collections.deque = collections.deque()  # (dev_emb, owners, n)
+
+        def drain_one() -> None:
+            dev_emb, owners, n = inflight.popleft()
+            emb = np.asarray(dev_emb)[:n]
+            for vid, e in zip(owners, emb):
+                pending.setdefault(vid, []).append(e)
 
         def flush(shape_key) -> None:
-            """Embed one resolution's buffered frames as a fixed-size device
-            batch (tail padded to keep the compiled shape) and scatter."""
+            """Dispatch one resolution's buffered frames as a fixed-size
+            device batch (tail padded to keep the compiled shape)."""
             frames_l, owners = buffers.get(shape_key, ([], []))
             if not frames_l:
                 return
             stack = np.stack(frames_l)
             n = stack.shape[0]
             stack = pad_to_batch(stack, self.batch_size)
-            emb = np.asarray(self._embed(self.params, jnp.asarray(stack)))[:n]
-            for vid, e in zip(owners, emb):
-                pending.setdefault(vid, []).append(e)
+            inflight.append(
+                (self._embed(self.params, jnp.asarray(stack)), list(owners), n)
+            )
             buffers[shape_key] = ([], [])
+            while len(inflight) > 1:
+                drain_one()
 
         def finish_ready() -> None:
             """Complete every video whose frames are all embedded."""
             nonlocal finished
             in_buffer = {o for _, owners in buffers.values() for o in owners}
+            in_buffer |= {o for _, owners, _ in inflight for o in owners}
             for vid in [v for v in final_seen if v not in in_buffer]:
                 final_seen.discard(vid)
                 if vid in errors:
@@ -258,6 +274,8 @@ class ClipExtractor:
             finish_ready()
         for key in list(buffers):
             flush(key)
+        while inflight:
+            drain_one()
         finish_ready()
         for t in workers:
             t.join()
