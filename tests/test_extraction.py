@@ -198,3 +198,48 @@ def test_extractor_mixed_resolutions(tmp_path, params):
             enc.apply({"params": params}, clip_preprocess(jnp.asarray(frames), 32))
         )
         np.testing.assert_allclose(got[vid], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_extractor_temporal_dedup(tmp_path, params):
+    """Opt-in near-duplicate gating: repeated frames reuse the previous
+    embedding (fewer ViT forwards), and the output still has one embedding
+    per input frame with exact equality for true duplicates."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (36, 64, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (36, 64, 3), dtype=np.uint8)
+    frames = np.stack([a, a, a, b, b, a])  # 3 unique transitions
+    path = str(tmp_path / "dup.mp4")
+    write_video(path, frames)
+    decoded = read_video(path)  # codec-lossy; duplicates stay near-identical
+
+    calls = []
+    extractor = ClipExtractor(params, CFG, batch_size=4, half_precision=False,
+                              decode_workers=1, dedup_threshold=2.0)
+    orig_embed = extractor._embed
+
+    def counting_embed(p, x):
+        calls.append(int(x.shape[0]))
+        return orig_embed(p, x)
+
+    extractor._embed = counting_embed
+    got = {}
+    errors = extractor.extract([("dup.mp4", path)],
+                               lambda vid, emb: got.__setitem__(vid, emb))
+    assert errors == {}
+    emb = got["dup.mp4"]
+    assert emb.shape == (6, 16)  # one embedding per input frame
+    # duplicates of frame 0 share its embedding exactly
+    np.testing.assert_array_equal(emb[0], emb[1])
+    np.testing.assert_array_equal(emb[0], emb[2])
+    np.testing.assert_array_equal(emb[3], emb[4])
+    # and distinct content got distinct embeddings
+    assert not np.allclose(emb[0], emb[3])
+
+    # without dedup, all 6 frames are embedded; with it, at most 4 kept
+    extractor2 = ClipExtractor(params, CFG, batch_size=4, half_precision=False,
+                               decode_workers=1)
+    got2 = {}
+    extractor2.extract([("dup.mp4", path)],
+                       lambda vid, emb: got2.__setitem__(vid, emb))
+    # dedup embeddings match the full run at the kept positions
+    np.testing.assert_allclose(emb[0], got2["dup.mp4"][0], rtol=1e-4, atol=1e-5)

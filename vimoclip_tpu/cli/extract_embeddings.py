@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--dataset-name", default="AnimalKingdom")
     p.add_argument("--no-compression", action="store_true",
                    help="disable gzip (faster writes)")
+    p.add_argument("--dedup-threshold", type=float, default=None,
+                   help="opt-in temporal-redundancy gating: frames whose "
+                        "mean |pixel delta| to the last embedded frame is "
+                        "below this (uint8 units, e.g. 1.0) reuse its "
+                        "embedding instead of running the ViT")
     p.add_argument("--float32", action="store_true",
                    help="full-precision forward (default bfloat16)")
     args = p.parse_args(argv)
@@ -55,6 +60,7 @@ def main(argv: list[str] | None = None) -> None:
         dataset_name=args.dataset_name,
         clip_model_name=f"ViT-B/{config.patch_size}",
         compression=None if args.no_compression else "gzip",
+        dedup_threshold=args.dedup_threshold,
     )
     logging.info("done in %.1fs; %d errors", time.time() - start, len(errors))
     for vid, err in errors.items():

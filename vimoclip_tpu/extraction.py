@@ -92,11 +92,20 @@ class ClipExtractor:
         half_precision: bool = True,
         decode_workers: int = 4,
         frame_queue_blocks: int = 32,
+        dedup_threshold: float | None = None,
     ):
+        """``dedup_threshold``: opt-in temporal-redundancy gating — frames
+        whose mean absolute pixel delta to the previously EMBEDDED frame of
+        the same video falls below the threshold (uint8 units, e.g. 1.0)
+        reuse that frame's embedding instead of running the ViT. Dense video
+        is highly redundant (cf. ResidualViT, arXiv:2509.13255), so this
+        buys algorithmic speedup beyond the compute-bound ceiling; outputs
+        deviate from exact per-frame embeddings, hence opt-in."""
         self.config = config
         self.batch_size = batch_size
         self.decode_workers = decode_workers
         self.frame_queue_blocks = frame_queue_blocks
+        self.dedup_threshold = dedup_threshold
         dtype = jnp.bfloat16 if half_precision else jnp.float32
         encoder = ClipVisionEncoder(config, dtype=dtype)
         self.params = params
@@ -172,6 +181,10 @@ class ClipExtractor:
 
         pending: dict[str, list[np.ndarray]] = {}  # vid -> embedded frames
         positions: dict[str, int] = {}  # vid -> decoded-frame offset
+        # temporal-dedup state: per-video slot map (frame -> embedded index)
+        # and the last embedded frame (subsampled) for delta checks
+        slots: dict[str, list[int]] = {}
+        last_kept: dict[str, np.ndarray] = {}
         final_seen: set[str] = set()
         finished = 0
         # Per-resolution frame buffers: mixed-resolution corpora (MammalNet)
@@ -224,6 +237,10 @@ class ClipExtractor:
                     if chunks
                     else np.zeros((0, self.config.projection_dim), np.float32)
                 )
+                vid_slots = slots.pop(vid, None)
+                last_kept.pop(vid, None)
+                if vid_slots is not None and len(emb):
+                    emb = emb[vid_slots]  # expand dedup reuse to full length
                 on_video_done(vid, emb)
                 finished += 1
 
@@ -255,6 +272,29 @@ class ClipExtractor:
                         [cv2.resize(f, (frame_shape[1], frame_shape[0]))
                          for f in frames]
                     )
+                if self.dedup_threshold is not None:
+                    vid = block.video_id
+                    vslots = slots.setdefault(vid, [])
+                    n_emb = (vslots[-1] + 1) if vslots else 0
+                    keep_idx = []
+                    for j, f in enumerate(frames):
+                        probe = f[::4, ::4].astype(np.int16)
+                        prev = last_kept.get(vid)
+                        if (prev is not None and prev.shape == probe.shape
+                                and float(np.mean(np.abs(probe - prev)))
+                                < self.dedup_threshold):
+                            vslots.append(n_emb - 1)  # reuse previous embedding
+                        else:
+                            keep_idx.append(j)
+                            vslots.append(n_emb)
+                            n_emb += 1
+                            last_kept[vid] = probe
+                    if not keep_idx:
+                        if block.final:
+                            final_seen.add(block.video_id)
+                            finish_ready()
+                        continue
+                    frames = frames[keep_idx]
                 key = frames.shape[1:3]
                 buf_frames, buf_owner = buffers.setdefault(key, ([], []))
                 buf_frames.extend(frames)
@@ -295,6 +335,7 @@ def create_hdf5_dataset(
     dataset_name: str = "AnimalKingdom",
     clip_model_name: str = "ViT-B/16",
     compression: str | None = "gzip",
+    dedup_threshold: float | None = None,
 ) -> dict[str, str]:
     """End-to-end extraction to the reference HDF5 layout — the public
     surface of extract_embeddings.py:23."""
@@ -320,7 +361,8 @@ def create_hdf5_dataset(
             embed_dim=config.projection_dim,
         )
     )
-    extractor = ClipExtractor(params, config, batch_size=batch_size)
+    extractor = ClipExtractor(params, config, batch_size=batch_size,
+                              dedup_threshold=dedup_threshold)
 
     # Subsample BEFORE embedding when the container reports a frame count
     # (reference computes indices first, extract_embeddings.py:77-84);
