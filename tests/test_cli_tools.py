@@ -127,3 +127,51 @@ def test_profiler_trace_smoke(tmp_path):
     assert glob.glob(os.path.join(d, "**", "*.pb"), recursive=True) or \
            glob.glob(os.path.join(d, "**", "*.json.gz"), recursive=True) or \
            os.listdir(d)
+
+
+def test_sweep_runner_end_to_end(tmp_path, mesh8, monkeypatch):
+    """run_experiments.run executes each config and records results."""
+    import yaml
+
+    from vimoclip_tpu.cli.run_experiments import run
+    from vimoclip_tpu.data import EmbeddingWriter
+
+    rng = np.random.default_rng(11)
+    rgb, motion = str(tmp_path / "rgb.h5"), str(tmp_path / "mot.h5")
+    with EmbeddingWriter(rgb, num_classes=4, embed_dim=16) as wr, \
+         EmbeddingWriter(motion, embed_dim=16) as wm:
+        for i in range(8):
+            t = int(rng.integers(5, 9))
+            lab = np.zeros(4, np.float32)
+            lab[i % 4] = 1
+            wr.write_video(f"v{i}.mp4", rng.normal(size=(t, 16)).astype(np.float32),
+                           labels=lab)
+            wm.write_video(f"v{i}", rng.normal(size=(t - 1, 16)).astype(np.float32))
+
+    cfg_dir = tmp_path / "cfgs"
+    cfg_dir.mkdir()
+    base = {
+        "training": {"mode": "train", "seed": 49, "lr": 1e-3, "epochs": 1,
+                     "batch_size": 4, "num_workers": 1,
+                     "data_parallel": 4, "model_parallel": 2},
+        "logging": {"log_dir": "logs", "checkpoint_dir": "ckpt"},
+        "data": {"num_classes": 4, "train_dataset_path": rgb,
+                 "val_dataset_path": rgb, "flow_dataset_path": motion,
+                 "length_bucket": 8},
+        "model": {"d_model": 16, "nhead": 2, "num_layers": 1,
+                  "dim_feedforward": 32, "dropout": 0.0, "mlp_dropout": 0.0},
+    }
+    for i, cross in enumerate([True, False]):
+        cfg = dict(base, model=dict(base["model"], use_cross_attention=cross,
+                                    concat_dim=1))
+        with open(cfg_dir / f"config_{i}.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+
+    monkeypatch.chdir(tmp_path)
+    results = run(str(cfg_dir), str(tmp_path / "sweep.json"))
+    assert len(results) == 2
+    assert all(0.0 <= r["best_val_mAP"] <= 1.0 for r in results)
+    import json
+
+    saved = json.load(open(tmp_path / "sweep.json"))
+    assert len(saved) == 2
