@@ -110,3 +110,28 @@ def test_checkpoint_step_retention(tmp_path):
     ckpt.save_if_best(state, 0.5)
     ckpt.save(state, "step_5")
     assert os.path.isdir(os.path.join(ckpt.directory, "best"))
+
+
+def test_best_metric_survives_resume_from_step_checkpoint(tmp_path):
+    """Regression (ADVICE.md round 1, medium): step checkpoints must carry
+    the running best metric so a resumed run cannot overwrite ``best`` with
+    a worse post-resume epoch."""
+    import jax.numpy as jnp
+    import optax
+
+    from vimoclip_tpu.train.state import CheckpointManager, TrainState
+
+    state = TrainState.create({"w": jnp.zeros(3)}, optax.sgd(0.1))
+    ckpt = CheckpointManager(str(tmp_path / "c"))
+    assert ckpt.save_if_best(state, 0.9)
+    ckpt.save(state, "step_1", extra={"epoch": 0})
+
+    # crash + restart: fresh manager restores from the LATEST step ckpt
+    ckpt2 = CheckpointManager(str(tmp_path / "c"))
+    assert ckpt2.best_metric == -float("inf")
+    _, extra = ckpt2.restore(state, ckpt2.latest_step_name())
+    assert extra["epoch"] == 0
+    assert ckpt2.best_metric == 0.9
+    # a worse epoch after resume must NOT replace best
+    assert not ckpt2.save_if_best(state, 0.5)
+    assert ckpt2.save_if_best(state, 0.95)

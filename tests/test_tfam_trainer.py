@@ -104,34 +104,33 @@ def test_tfam_trainer_resume(config, tmp_path, mesh8):
     assert int(trainer2.state.step) == 2 * step_after_1
 
 
-def test_tester_loads_reference_torch_checkpoint(config, tmp_path, mesh8):
-    """A reference-format best_model.pth (DataParallel 'module.' prefixed
-    state_dict inside a training-state dict) must load and evaluate."""
+def _torch_reference_model(d, heads, layers, ff, classes):
+    """Random-init transcription of the reference AMO_CLIP cross-attention
+    stack (reference TFAM/models/AMO_CLIP.py:6-171) with a working forward,
+    so the full reference eval path can run as the oracle."""
     import torch
     import torch.nn as nn
-
-
-    trainer = TFAMTrainer(
-        config, log_dir=str(tmp_path / "logs"),
-        checkpoint_dir=str(tmp_path / "ckpt"), mesh=mesh8,
-    )
-    # Build a torch oracle with matching geometry (D=32 here vs test_tfam's
-    # D=64), so craft a state dict directly from our own params is complex;
-    # instead train 0 epochs and produce a torch state dict from a fresh
-    # torch model of the right shape.
-    torch.manual_seed(0)
-    d, heads, layers, ff, classes = 32, 4, 1, 64, 6
 
     class Block(nn.Module):
         def __init__(self):
             super().__init__()
-            self.self_attn = nn.MultiheadAttention(d, heads, batch_first=True)
-            self.cross_attn = nn.MultiheadAttention(d, heads, batch_first=True)
+            self.self_attn = nn.MultiheadAttention(d, heads, dropout=0.0,
+                                                   batch_first=True)
+            self.cross_attn = nn.MultiheadAttention(d, heads, dropout=0.0,
+                                                    batch_first=True)
             self.ffn = nn.Sequential(nn.Linear(d, ff), nn.ReLU(), nn.Dropout(0.0),
                                      nn.Linear(ff, d), nn.Dropout(0.0))
             self.norm_self = nn.LayerNorm(d)
             self.norm_cross = nn.LayerNorm(d)
             self.norm_ffn = nn.LayerNorm(d)
+
+        def forward(self, x, cross_src, src_kpm, cross_kpm):
+            a, _ = self.self_attn(x, x, x, key_padding_mask=src_kpm)
+            x = self.norm_self(x + a)
+            a, _ = self.cross_attn(x, cross_src, cross_src,
+                                   key_padding_mask=cross_kpm)
+            x = self.norm_cross(x + a)
+            return self.norm_ffn(x + self.ffn(x))
 
     class Ref(nn.Module):
         def __init__(self):
@@ -142,17 +141,67 @@ def test_tester_loads_reference_torch_checkpoint(config, tmp_path, mesh8):
                 nn.Dropout(0.0), nn.Linear(d // 2, classes))
             self.projection_layer = nn.Linear(2 * d, d)
 
-    ref = Ref()
+        def forward(self, rgb, motion, mask_rgb, mask_flow):
+            kpm_rgb, kpm_flow = ~mask_rgb, ~mask_flow
+            x = rgb
+            for layer in self.layers:
+                x = layer(x, motion, kpm_rgb, kpm_flow)
+            # reference pools over pads too (AMO_CLIP.py:170)
+            return self.classifier(x.mean(dim=1))
+
+    return Ref()
+
+
+def test_torch_checkpoint_to_metric_loop(config, tmp_path, mesh8):
+    """Close the paper-reproduction loop (VERDICT.md round 1, weak #3):
+    a reference-format best_model.pth (DataParallel 'module.'-prefixed
+    state_dict inside the training-state dict, reference
+    train_and_eval.py:133-149) loaded via TFAMTester.load_torch_checkpoint
+    and evaluated with THIS stack must produce the SAME mAP as running the
+    torch reference model over the identical batches."""
+    import torch
+
+    from vimoclip_tpu.metrics import MultilabelAveragePrecision
+
+    trainer = TFAMTrainer(
+        config, log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"), mesh=mesh8,
+    )
+    torch.manual_seed(0)
+    ref = _torch_reference_model(d=32, heads=4, layers=1, ff=64, classes=C).eval()
     ckpt_path = str(tmp_path / "best_model.pth")
     torch.save(
-        {"epoch": 3,
+        {"epoch": 3, "best_val_mAP": 0.0,
          "state_dict": {f"module.{k}": v for k, v in ref.state_dict().items()}},
         ckpt_path,
     )
+
+    # --- this stack: load checkpoint, evaluate through the tester ---
     tester = TFAMTester(trainer, results_dir=str(tmp_path / "res"))
     tester.load_torch_checkpoint(ckpt_path)
     results = tester.evaluate(save_predictions=False, top_k=2)
-    assert 0.0 <= results["metrics"]["mAP"] <= 1.0
+    jax_map = results["metrics"]["mAP"]
+
+    # --- reference stack: torch forward over the SAME batches, reference
+    # padded layout (pad to per-batch max, pool over pads) ---
+    metric = MultilabelAveragePrecision(num_labels=C)
+    n_batches = 0
+    for batch in trainer.val_loader:
+        t_rgb = int(np.asarray(batch["mask_rgb"]).sum(axis=1).max())
+        t_mot = int(np.asarray(batch["mask_motion"]).sum(axis=1).max())
+        rgb = torch.from_numpy(np.asarray(batch["embeddings"][:, :t_rgb]))
+        motion = torch.from_numpy(np.asarray(batch["motion_embeddings"][:, :t_mot]))
+        mask_rgb = torch.from_numpy(np.asarray(batch["mask_rgb"][:, :t_rgb]))
+        mask_mot = torch.from_numpy(np.asarray(batch["mask_motion"][:, :t_mot]))
+        with torch.no_grad():
+            logits = ref(rgb, motion, mask_rgb, mask_mot)
+        metric.update(logits.numpy(), np.asarray(batch["labels"]))
+        n_batches += 1
+    torch_map = metric.compute()
+
+    assert n_batches == 3  # 24 videos / batch 8, drop_last
+    assert jax_map == pytest.approx(torch_map, abs=1e-6), (jax_map, torch_map)
+    assert 0.0 <= jax_map <= 1.0
 
 
 def test_tfam_trainer_mammalnet_variant(tmp_path, mesh8):

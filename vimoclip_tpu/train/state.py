@@ -116,9 +116,16 @@ class CheckpointManager:
         self._ckptr.save(path, self._payload(state), force=True)
         self._ckptr.wait_until_finished()
         # Scalar metadata (epoch, best metric) lives in a JSON sidecar — the
-        # array tree stays a clean Orbax pytree.
+        # array tree stays a clean Orbax pytree. The running best metric is
+        # stamped into EVERY checkpoint (not just ``best``) so that resuming
+        # from a step checkpoint restores best-model tracking; otherwise the
+        # first post-resume epoch would always overwrite ``best`` even with a
+        # worse metric (round-1 advisor finding, ADVICE.md).
+        extra = dict(extra or {})
+        if "best_metric" not in extra and self.best_metric != -float("inf"):
+            extra["best_metric"] = float(self.best_metric)
         with open(os.path.join(path, "extra.json"), "w") as f:
-            json.dump(extra or {}, f)
+            json.dump(extra, f)
         if self.keep_steps is not None and name.startswith("step_"):
             self._prune_steps()
 
