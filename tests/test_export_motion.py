@@ -128,3 +128,32 @@ def test_process_video_list(videos, tmp_path):
     # skip_existing: second run does nothing and keeps files
     errors2 = process_video_list(str(lst), videos, out_dir, kind="frame_diff")
     assert set(errors2) == {"missing.mp4"}
+
+
+def test_export_resume_retries_crash_truncated_group(videos, params, tmp_path):
+    """A group with embeddings but NO attrs (process died between chunk
+    write and finalize — no exception handler ran) must be retried on
+    resume, not skipped forever with partial data (round-1 ADVICE)."""
+    import h5py
+
+    from vimoclip_tpu.export import MotionEmbeddingExporter
+
+    exporter = MotionEmbeddingExporter(params, CFG, chunk_size=4,
+                                       half_precision=False)
+    out = str(tmp_path / "crash.h5")
+    first = find_motion_videos(videos)[0]
+    vid = os.path.splitext(os.path.basename(first))[0]
+    # simulate the crash artifact: partial embeddings, no 'complete' attr
+    with h5py.File(out, "w") as f:
+        g = f.create_group(vid)
+        g.create_dataset("embeddings", data=np.zeros((2, 16), np.float32),
+                         maxshape=(None, 16))
+    counts = exporter.export([first], out)
+    assert counts == {"processed": 1, "skipped": 0, "errors": 0}
+    with h5py.File(out, "r") as f:
+        g = f[vid]
+        assert g.attrs["complete"]
+        assert g["embeddings"].shape[0] == g.attrs["total_frames"] > 2
+    # and a genuine resume still skips the now-complete group
+    counts = exporter.export([first], out)
+    assert counts == {"processed": 0, "skipped": 1, "errors": 0}

@@ -243,3 +243,106 @@ def test_extractor_temporal_dedup(tmp_path, params):
                        lambda vid, emb: got2.__setitem__(vid, emb))
     # dedup embeddings match the full run at the kept positions
     np.testing.assert_allclose(emb[0], got2["dup.mp4"][0], rtol=1e-4, atol=1e-5)
+
+
+def test_extractor_streaming_chunks(corpus, params):
+    """Streaming: chunks arrive in frame order, each bounded by
+    stream_rows + batch, remainder flushed at finish with done(vid, None) —
+    host RAM stays O(stream_rows) per video like the reference MN
+    extractor's resizable appends (extract_embeddings_mammalNet.py:114-141)."""
+    root, lengths = corpus
+    videos = [(vid, os.path.join(root, vid)) for vid in lengths]
+    batch, stream_rows = 4, 4
+    extractor = ClipExtractor(params, CFG, batch_size=batch,
+                              half_precision=False, decode_workers=2)
+    chunks: dict[str, list] = {}
+    finals: dict[str, object] = {}
+    errors = extractor.extract(
+        videos, lambda vid, emb: finals.__setitem__(vid, emb),
+        on_video_chunk=lambda vid, c: chunks.setdefault(vid, []).append(c),
+        stream_rows=stream_rows,
+    )
+    assert errors == {}
+    assert set(finals) == set(lengths)
+
+    enc = ClipVisionEncoder(CFG)
+    for vid, t in lengths.items():
+        parts = chunks.get(vid, [])
+        for c in parts[:-1] if parts else []:
+            assert len(c) < stream_rows + batch
+        if finals[vid] is None:  # streamed video: concatenation is complete
+            got = np.concatenate(parts)
+            assert t >= stream_rows  # only long videos stream
+        else:  # short video: whole-video path, zero chunks
+            assert parts == []
+            got = finals[vid]
+        frames = read_video(os.path.join(root, vid))
+        ref = np.asarray(
+            enc.apply({"params": params}, clip_preprocess(jnp.asarray(frames), 32))
+        )
+        assert got.shape == (t, 16)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_create_hdf5_dataset_streaming_matches_whole(corpus, params, tmp_path):
+    """stream_rows small enough to force streaming writes must produce a
+    file equivalent to the whole-video path (embeddings, labels, attrs,
+    video_ids)."""
+    root, lengths = corpus
+    common = dict(
+        data_root=root,
+        annotation_file=os.path.join(root, "train.txt"),
+        class_file=os.path.join(root, "classes.csv"),
+        params=params, config=CFG, batch_size=4, split="train",
+    )
+    whole, streamed = str(tmp_path / "w.h5"), str(tmp_path / "s.h5")
+    create_hdf5_dataset(output_hdf5=whole, **common)  # default stream_rows=2048
+    create_hdf5_dataset(output_hdf5=streamed, stream_rows=4, **common)
+    with h5py.File(whole, "r") as fw, h5py.File(streamed, "r") as fs:
+        assert list(fw["video_ids"].asstr()[:]) == list(fs["video_ids"].asstr()[:])
+        # AK semantics: every annotated id, including the missing one
+        assert "missing.mp4" in list(fs["video_ids"].asstr()[:])
+        for vid in lengths:
+            np.testing.assert_allclose(
+                fs[vid]["embeddings"][:], fw[vid]["embeddings"][:],
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_array_equal(fs[vid]["labels"][:], fw[vid]["labels"][:])
+            assert fs[vid].attrs["total_frames"] == fw[vid].attrs["total_frames"]
+            assert fs[vid].attrs["original_frames"] == fw[vid].attrs["original_frames"]
+
+
+def test_streaming_abort_rolls_back_partial_video(corpus, params, tmp_path,
+                                                  monkeypatch):
+    """A video that errors mid-decode AFTER streaming chunks out must leave
+    no group in the file (reference skips failed videos entirely,
+    extract_embeddings.py:113-115) and no leaked host state."""
+    import vimoclip_tpu.extraction as ex
+
+    root, lengths = corpus
+    real_iter = ex.iter_video_chunks
+
+    def flaky_iter(path, chunk_size):
+        if "v3" in path:  # 12 frames: yield most, then blow up
+            it = real_iter(path, chunk_size=4)
+            yield next(it)
+            yield next(it)
+            raise IOError("synthetic mid-decode failure")
+        yield from real_iter(path, chunk_size=chunk_size)
+
+    monkeypatch.setattr(ex, "iter_video_chunks", flaky_iter)
+    out = str(tmp_path / "abort.h5")
+    errors = create_hdf5_dataset(
+        data_root=root,
+        annotation_file=os.path.join(root, "train.txt"),
+        class_file=os.path.join(root, "classes.csv"),
+        output_hdf5=out, params=params, config=CFG,
+        batch_size=4, split="train", stream_rows=4,
+    )
+    assert "v3.mp4" in errors
+    with h5py.File(out, "r") as f:
+        groups = {k for k in f if isinstance(f[k], h5py.Group)}
+        assert "v3.mp4" not in groups
+        assert groups == {"v0.mp4", "v1.mp4", "v2.mp4"}
+        # index still lists every annotated id (reference :118-119)
+        assert "v3.mp4" in list(f["video_ids"].asstr()[:])

@@ -103,6 +103,7 @@ class EmbeddingWriter:
         self.embed_dim = embed_dim
         self.chunk_rows = chunk_rows
         self._video_ids: list[str] = []
+        self._explicit_ids: list[str] | None = None
         self.root = (
             self._file.require_group(nested_prefix) if nested_prefix else self._file
         )
@@ -156,17 +157,49 @@ class EmbeddingWriter:
         self._video_ids.append(video_id)
         return _StreamingVideo(self._file, g, ds)
 
+    def delete_video(self, video_id: str) -> None:
+        """Remove a (possibly partial) video group — used to roll back a
+        streamed video that errored mid-decode, so failed videos leave no
+        group, matching the reference's skip-on-error behavior
+        (extract_embeddings.py:113-115)."""
+        if video_id in self.root:
+            del self.root[video_id]
+        if video_id in self._video_ids:
+            self._video_ids.remove(video_id)
+
     def annotate_error(self, video_id: str, error: str, key: str = "error") -> None:
         """Persist a per-video failure without aborting the run
         (inference_frame_diff.py:391-407)."""
         g = self.root.require_group(video_id)
         g.attrs[key] = error
 
+    def set_video_ids(self, ids: list[str]) -> None:
+        """Explicit index override. The AK extractor lists EVERY annotated id
+        (including failed videos, extract_embeddings.py:118-119); callers
+        with that semantic pass the full annotation list here."""
+        self._explicit_ids = list(ids)
+
     def close(self) -> None:
-        if self._video_ids and "video_ids" not in self._file:
+        """Close, rebuilding the top-level ``video_ids`` index.
+
+        The index is rebuilt from the file's LIVE group keys (not this
+        session's in-memory writes), so append-mode resume leaves a
+        self-consistent file: old + new groups are all indexed, and a stale
+        pre-resume index is replaced (round-1 VERDICT weak #5). Matches the
+        MN reference's processed-ids semantic
+        (extract_embeddings_mammalNet.py:149-153); the AK all-annotated-ids
+        semantic is available via ``set_video_ids``.
+        """
+        if not self._file.id:
+            return  # already closed
+        ids = self._explicit_ids
+        if ids is None:
+            ids = [k for k in self.root.keys() if isinstance(self.root[k], h5py.Group)]
+        if ids:
+            if "video_ids" in self._file:
+                del self._file["video_ids"]
             self._file.create_dataset(
-                "video_ids",
-                data=np.array(self._video_ids, dtype=h5py.string_dtype()),
+                "video_ids", data=np.array(ids, dtype=h5py.string_dtype())
             )
         self._file.close()
 
@@ -200,7 +233,13 @@ class _StreamingVideo:
 
 class AsyncWriter:
     """Run an EmbeddingWriter on its own thread so HDF5/gzip never blocks the
-    device step (SURVEY.md §7: writer decoupled from the TPU step)."""
+    device step (SURVEY.md §7: writer decoupled from the TPU step).
+
+    Supports whole-video writes (``submit``) and per-video streaming appends
+    (``submit_chunk`` + ``finalize_video``) — the bounded queue plus
+    chunked resize-appends keep host memory O(chunk) per in-flight video,
+    the property the reference MN extractor gets from its resizable batched
+    appends (extract_embeddings_mammalNet.py:114-141)."""
 
     _DONE = object()
 
@@ -208,6 +247,7 @@ class AsyncWriter:
         self.writer = writer
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._error: Exception | None = None
+        self._streams: dict[str, _StreamingVideo] = {}
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -216,15 +256,45 @@ class AsyncWriter:
             item = self._q.get()
             if item is self._DONE:
                 return
+            op, args = item
             try:
-                self.writer.write_video(*item)
+                if op == "video":
+                    self.writer.write_video(*args)
+                elif op == "chunk":
+                    vid, chunk = args
+                    stream = self._streams.get(vid)
+                    if stream is None:
+                        stream = self._streams[vid] = self.writer.open_stream(vid)
+                    stream.append(chunk)
+                elif op == "final":
+                    vid, labels, original_frames = args
+                    stream = self._streams.pop(vid, None)
+                    if stream is None:  # zero chunks streamed: empty video
+                        stream = self.writer.open_stream(vid)
+                    stream.finalize(labels=labels, original_frames=original_frames)
+                elif op == "abort":
+                    (vid,) = args
+                    self._streams.pop(vid, None)
+                    self.writer.delete_video(vid)
             except Exception as e:  # surfaced on submit/close
                 self._error = e
 
-    def submit(self, video_id, embeddings, labels=None, original_frames=None):
+    def _put(self, op, args):
         if self._error:
             raise self._error
-        self._q.put((video_id, embeddings, labels, original_frames))
+        self._q.put((op, args))
+
+    def submit(self, video_id, embeddings, labels=None, original_frames=None):
+        self._put("video", (video_id, embeddings, labels, original_frames))
+
+    def submit_chunk(self, video_id, chunk):
+        self._put("chunk", (video_id, chunk))
+
+    def finalize_video(self, video_id, labels=None, original_frames=None):
+        self._put("final", (video_id, labels, original_frames))
+
+    def abort_video(self, video_id):
+        self._put("abort", (video_id,))
 
     def close(self):
         self._q.put(self._DONE)

@@ -116,7 +116,11 @@ class MotionEmbeddingExporter:
                 video_id = os.path.splitext(os.path.basename(path))[0]
                 if video_id in h5f:
                     g = h5f[video_id]
-                    if "embeddings" in g and g.attrs.get("complete", True):
+                    # Absent 'complete' defaults to FALSE: a group whose
+                    # process was SIGKILLed between chunk writes and finalize
+                    # has embeddings but no attrs, and must be retried, not
+                    # trusted (round-1 ADVICE finding).
+                    if "embeddings" in g and g.attrs.get("complete", False):
                         counts["skipped"] += 1
                         continue
                     del h5f[video_id]  # retry incomplete/failed groups
@@ -145,6 +149,11 @@ class MotionEmbeddingExporter:
         import cv2
 
         group = h5f.create_group(video_id)
+        # Durability marker BEFORE any data: a crash mid-write (even SIGKILL,
+        # where no exception handler runs) leaves complete=False and the
+        # group is retried on resume instead of skipped with partial data.
+        group.attrs["complete"] = False
+        h5f.flush()
         dset = None
         total = 0
         for frames in iter_video_chunks(path, chunk_size=self.chunk_size):

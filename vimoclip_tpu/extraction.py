@@ -147,9 +147,13 @@ class ClipExtractor:
     def extract(
         self,
         videos: list[tuple[str, str]],  # (video_id, path)
-        on_video_done,  # callback(video_id, embeddings (T, D))
+        on_video_done,  # callback(video_id, embeddings (T, D) | None)
         frame_shape: tuple[int, int] | None = None,
         frame_filter: dict[str, set] | None = None,
+        on_video_chunk=None,  # callback(video_id, chunk (n, D)) — streaming
+        on_video_abort=None,  # callback(video_id) — streamed video errored
+        stream_rows: int = 2048,
+        stream_ok: set[str] | None = None,
     ) -> dict[str, str]:
         """Run the pipeline; returns {video_id: error} for failed videos.
 
@@ -160,7 +164,22 @@ class ClipExtractor:
         subsamples before running CLIP, extract_embeddings.py:77-84 — at
         max_frames=50 on 450-frame clips this avoids embedding 89% of the
         frames).
+
+        Streaming (``on_video_chunk``): once a video accumulates
+        ``stream_rows`` embedded frames they are emitted as an in-order
+        chunk and dropped from host memory, bounding RAM to O(stream_rows)
+        per in-flight video like the reference MN extractor's resizable
+        appends (extract_embeddings_mammalNet.py:114-141). A video that
+        streamed >=1 chunk finishes with ``on_video_done(vid, None)`` after
+        its remaining rows were emitted; ``on_video_abort`` fires instead if
+        it errors mid-decode (partial data already handed out). ``stream_ok``
+        restricts streaming to the given ids (callers needing the full array
+        post-hoc — e.g. unknown-length subsampling — exclude those).
+        Temporal dedup buffers whole videos (embeddings are re-expanded by
+        the slot map at finish), so it disables streaming.
         """
+        if self.dedup_threshold is not None:
+            on_video_chunk = None  # dedup needs the whole-video slot expansion
         jobs: queue.Queue = queue.Queue()
         blocks: queue.Queue = queue.Queue(maxsize=self.frame_queue_blocks)
         errors: dict[str, str] = {}
@@ -199,12 +218,28 @@ class ClipExtractor:
         import collections
 
         inflight: collections.deque = collections.deque()  # (dev_emb, owners, n)
+        streamed_rows: dict[str, int] = {}  # vid -> rows already emitted
+
+        def _can_stream(vid: str) -> bool:
+            return on_video_chunk is not None and (
+                stream_ok is None or vid in stream_ok
+            )
 
         def drain_one() -> None:
             dev_emb, owners, n = inflight.popleft()
             emb = np.asarray(dev_emb)[:n]
+            touched = []
             for vid, e in zip(owners, emb):
+                if vid in errors:
+                    continue  # failed mid-decode: drop dispatched frames
                 pending.setdefault(vid, []).append(e)
+                touched.append(vid)
+            for vid in dict.fromkeys(touched):
+                if _can_stream(vid) and len(pending[vid]) >= stream_rows:
+                    rows = pending[vid]
+                    pending[vid] = []
+                    streamed_rows[vid] = streamed_rows.get(vid, 0) + len(rows)
+                    on_video_chunk(vid, np.stack(rows))
 
         def flush(shape_key) -> None:
             """Dispatch one resolution's buffered frames as a fixed-size
@@ -222,6 +257,16 @@ class ClipExtractor:
             while len(inflight) > 1:
                 drain_one()
 
+        def drop_errored(vid: str) -> None:
+            """Release all state of a failed video (round-1 ADVICE leak:
+            errored vids kept pending/slots/last_kept forever)."""
+            pending.pop(vid, None)
+            slots.pop(vid, None)
+            last_kept.pop(vid, None)
+            final_seen.discard(vid)
+            if streamed_rows.pop(vid, None) is not None and on_video_abort:
+                on_video_abort(vid)  # partial chunks were already handed out
+
         def finish_ready() -> None:
             """Complete every video whose frames are all embedded."""
             nonlocal finished
@@ -230,6 +275,16 @@ class ClipExtractor:
             for vid in [v for v in final_seen if v not in in_buffer]:
                 final_seen.discard(vid)
                 if vid in errors:
+                    drop_errored(vid)
+                    continue
+                if vid in streamed_rows:  # streaming path: flush remainder
+                    rows = pending.pop(vid, [])
+                    if rows:
+                        streamed_rows[vid] += len(rows)
+                        on_video_chunk(vid, np.stack(rows))
+                    streamed_rows.pop(vid)
+                    on_video_done(vid, None)
+                    finished += 1
                     continue
                 chunks = pending.pop(vid, [])
                 emb = (
@@ -250,7 +305,7 @@ class ClipExtractor:
             if block.final:
                 finals_received += 1
             if block.video_id in errors:
-                pending.pop(block.video_id, None)
+                drop_errored(block.video_id)
                 continue
             if block.frames.size:
                 frames = block.frames
@@ -336,6 +391,7 @@ def create_hdf5_dataset(
     clip_model_name: str = "ViT-B/16",
     compression: str | None = "gzip",
     dedup_threshold: float | None = None,
+    stream_rows: int = 2048,
 ) -> dict[str, str]:
     """End-to-end extraction to the reference HDF5 layout — the public
     surface of extract_embeddings.py:23."""
@@ -381,7 +437,21 @@ def create_hdf5_dataset(
                         uniform_indices(total, max_frames).tolist()
                     )
 
+    # Streaming eligibility: a video may stream (bounded host RAM, MN-style
+    # resizable appends) unless its full embedding array is needed post-hoc
+    # for subsampling — i.e. max_frames is set but the container didn't
+    # report a frame count upfront.
+    stream_ok: set[str] | None = None
+    if max_frames is not None:
+        stream_ok = set(container_total)
+
     def done(vid, emb):
+        if emb is None:  # fully streamed: finalize labels + attrs
+            writer.finalize_video(
+                vid, labels=labels_by_vid[vid],
+                original_frames=container_total.get(vid),
+            )
+            return
         if max_frames is not None and vid not in frame_filter and len(emb) > max_frames:
             total = container_total.get(vid, len(emb))
             emb = emb[uniform_indices(len(emb), max_frames)]
@@ -390,8 +460,15 @@ def create_hdf5_dataset(
         writer.submit(vid, emb, labels_by_vid[vid], original_frames=total)
 
     errors = extractor.extract(
-        videos, done, frame_filter=frame_filter or None
+        videos, done, frame_filter=frame_filter or None,
+        on_video_chunk=writer.submit_chunk,
+        on_video_abort=writer.abort_video,
+        stream_rows=stream_rows,
+        stream_ok=stream_ok,
     )
+    # AK index semantics: EVERY annotated id, including failed/missing
+    # videos (extract_embeddings.py:118-119).
+    writer.writer.set_video_ids([vid for vid, _ in annotations])
     writer.close()
     errors.update(skipped)
     return errors
