@@ -73,3 +73,71 @@ def test_topk_accuracy():
     acc2 = TopKAccuracy(top_k=2)
     acc2.update(logits, onehot)
     assert acc2.compute() == pytest.approx(1.0)
+
+
+def test_device_metric_matches_host_accumulator():
+    """DeviceMultilabelAveragePrecision (on-device accumulation, scalar-only
+    fetch) must equal the host metric on real-valued logits."""
+    from vimoclip_tpu.metrics import DeviceMultilabelAveragePrecision
+
+    logits, targets = _random_problem(3, b=48, c=10, pos_rate=0.15)
+    host = MultilabelAveragePrecision(num_labels=10)
+    dev = DeviceMultilabelAveragePrecision(num_labels=10)
+    for i in range(0, 48, 16):  # streaming updates, device arrays in
+        host.update(logits[i:i + 16], targets[i:i + 16])
+        dev.update(jnp.asarray(logits[i:i + 16]), jnp.asarray(targets[i:i + 16]))
+    assert abs(dev.compute() - host.compute()) < 1e-5
+    dev.reset()
+    assert dev.compute() == 0.0
+
+
+def test_jax_ap_tie_divergence_is_bounded():
+    """Documented tie behavior: under heavily quantized scores the on-device
+    per-positive formulation may differ from the thresholded
+    sklearn/torchmetrics value, but only within the tie-group granularity —
+    pin both that it CAN differ and that it stays bounded."""
+    rng = np.random.default_rng(7)
+    targets = (rng.random((64, 8)) < 0.25).astype(np.float32)
+    logits = rng.integers(0, 4, size=(64, 8)).astype(np.float32)  # 4 levels
+    exact = average_precision_np(logits, targets)
+    approx = float(average_precision_jax(jnp.asarray(logits), jnp.asarray(targets)))
+    # max per-tie-group error is bounded by the positive mass in the group;
+    # 0.05 is loose for 4 score levels over 512 pairs
+    assert abs(exact - approx) < 0.05
+    assert exact > 0.1  # sanity: non-degenerate problem
+
+
+def test_trainer_device_metric_end_to_end(tmp_path):
+    """TFAMTrainer with device_metric=True: validation mAP equals the
+    host-metric trainer on identical params/data (distinct float logits)."""
+    import dataclasses
+
+    from tests.test_tfam_trainer import _make_fixtures, C, D
+    from vimoclip_tpu.config import (
+        DataConfig, ExperimentConfig, LoggingConfig, TFAMModelConfig,
+        TrainingConfig,
+    )
+    from vimoclip_tpu.train.tfam_trainer import TFAMTrainer
+
+    rgb, motion = _make_fixtures(tmp_path)
+    def cfg(device_metric):
+        return ExperimentConfig(
+            training=TrainingConfig(epochs=1, batch_size=8, num_workers=1,
+                                    seed=49, device_metric=device_metric),
+            logging=LoggingConfig(),
+            data=DataConfig(num_classes=C, train_dataset_path=rgb,
+                            val_dataset_path=rgb, flow_dataset_path=motion,
+                            length_bucket=8),
+            model=TFAMModelConfig(d_model=D, nhead=4, num_layers=1,
+                                  dim_feedforward=64, dropout=0.0,
+                                  mlp_dropout=0.0),
+        )
+
+    t_host = TFAMTrainer(cfg(False), log_dir=str(tmp_path / "l1"),
+                         checkpoint_dir=str(tmp_path / "c1"))
+    t_dev = TFAMTrainer(cfg(True), log_dir=str(tmp_path / "l2"),
+                        checkpoint_dir=str(tmp_path / "c2"))
+    t_dev.state = t_dev.state.replace(params=t_host.state.params)
+    _, map_host = t_host.validate()
+    _, map_dev = t_dev.validate()
+    assert abs(map_host - map_dev) < 1e-5

@@ -37,6 +37,10 @@ class TrainingConfig:
     # TPU-native additions (defaults preserve reference behavior)
     loss: str = "bce"  # bce (AK multilabel) | ce (MammalNet single-label)
     metric: str = "map"  # map | accuracy
+    # Accumulate the epoch mAP on device and fetch one scalar instead of
+    # every logit matrix (metrics.DeviceMultilabelAveragePrecision) —
+    # tie-handling caveat documented there.
+    device_metric: bool = False
     data_parallel: int = -1
     model_parallel: int = 1
     half_precision: bool = False  # bfloat16 activations

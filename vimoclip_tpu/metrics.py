@@ -117,6 +117,55 @@ class MultilabelAveragePrecision:
         return average_precision_np(scores, targets)
 
 
+class DeviceMultilabelAveragePrecision:
+    """Micro multilabel AP accumulated ON DEVICE — logits never leave HBM.
+
+    TPU-native alternative to :class:`MultilabelAveragePrecision`: per-batch
+    logits/targets stay as device arrays, ``compute`` concatenates them and
+    runs the jit'ed :func:`average_precision_jax`, and only the scalar is
+    fetched. On this image's tunneled chip host fetches run ~17 MB/s
+    (CLAUDE.md), so fetching one float instead of an (N, C) logit matrix is
+    the difference between a usable and an unusable eval loop.
+
+    Numerics: exact AP when scores are distinct; under score ties it uses
+    the per-positive formulation, which can differ from the
+    sklearn/torchmetrics thresholded value by up to the tie-group
+    granularity (tests/test_metrics.py pins both properties). Real float32
+    logits make ties measure-zero, hence opt-in via
+    ``TrainingConfig.device_metric``.
+    """
+
+    device_resident = True  # trainers feed raw device arrays, no host fetch
+
+    def __init__(self, num_labels: int, average: str = "micro"):
+        if average != "micro":
+            raise NotImplementedError("reference uses micro averaging only")
+        self.num_labels = num_labels
+        import jax
+
+        self._ap = jax.jit(average_precision_jax)
+        self.reset()
+
+    def reset(self) -> None:
+        self._scores = []
+        self._targets = []
+
+    def update(self, logits, targets) -> None:
+        if logits.shape[-1] != self.num_labels:
+            raise ValueError(
+                f"expected {self.num_labels} labels, got {logits.shape[-1]}"
+            )
+        self._scores.append(jnp.reshape(logits, (-1, self.num_labels)))
+        self._targets.append(jnp.reshape(targets, (-1, self.num_labels)))
+
+    def compute(self) -> float:
+        if not self._scores:
+            return 0.0
+        scores = jnp.concatenate(self._scores, axis=0)
+        targets = jnp.concatenate(self._targets, axis=0)
+        return float(self._ap(scores, targets))
+
+
 class TopKAccuracy:
     """Streaming top-1 (or top-k) accuracy for the single-label MammalNet
     variants (reference ``Accuracy(num_classes=12)``,

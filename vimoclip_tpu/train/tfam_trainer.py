@@ -51,7 +51,20 @@ from vimoclip_tpu.utils.logging import StepTimer, SummaryWriter, progress
 def _make_metric(config: ExperimentConfig):
     if config.training.metric == "accuracy":
         return TopKAccuracy(top_k=1)
+    if config.training.device_metric:
+        from vimoclip_tpu.metrics import DeviceMultilabelAveragePrecision
+
+        return DeviceMultilabelAveragePrecision(num_labels=config.num_classes)
     return MultilabelAveragePrecision(num_labels=config.num_classes)
+
+
+def _metric_update(metric, logits, labels):
+    """Feed the metric without forcing a device->host fetch when it
+    accumulates on device (metrics.DeviceMultilabelAveragePrecision)."""
+    if getattr(metric, "device_resident", False):
+        metric.update(logits, labels)
+    else:
+        metric.update(np.asarray(logits), np.asarray(labels))
 
 
 def _loss_fn_for(config: ExperimentConfig):
@@ -183,7 +196,7 @@ class TFAMTrainer:
             total_loss += float(loss)
             n += 1
             last_logits, last_labels = logits, batch["labels"]
-            self.metric.update(np.asarray(logits), np.asarray(batch["labels"]))
+            _metric_update(self.metric, logits, batch["labels"])
             timer.tick(batch["labels"].shape[0])
         train_loss = total_loss / max(n, 1)
         train_metric = self.metric.compute()
@@ -203,7 +216,7 @@ class TFAMTrainer:
             loss, logits = self._eval_step(self.state.params, arrays)
             total_loss += float(loss)
             n += 1
-            self.metric.update(np.asarray(logits), np.asarray(batch["labels"]))
+            _metric_update(self.metric, logits, batch["labels"])
         val_loss = total_loss / max(n, 1)
         val_metric = self.metric.compute()
         if epoch is not None:
@@ -301,7 +314,7 @@ class TFAMTester:
             n += 1
             logits_np = np.asarray(logits)
             labels_np = np.asarray(batch["labels"])
-            self.t.metric.update(logits_np, labels_np)
+            _metric_update(self.t.metric, logits_np, labels_np)
             probs = 1.0 / (1.0 + np.exp(-logits_np))
             for i, vid in enumerate(batch["video_id"]):
                 order = np.argsort(probs[i])[::-1][:top_k]
