@@ -254,3 +254,42 @@ def test_video_ids_explicit_override_and_delete(tmp_path):
         assert list(f["video_ids"].asstr()[:]) == \
             ["ok.mp4", "partial.mp4", "missing.mp4"]
         assert "partial.mp4" not in f
+
+
+def test_async_writer_streaming_error_surfaces(tmp_path):
+    """A failure inside a streamed append on the writer thread must surface
+    on the next submit/close, not vanish (AsyncWriter error contract)."""
+    import pytest
+
+    from vimoclip_tpu.data.hdf5_schema import AsyncWriter
+
+    path = str(tmp_path / "s.h5")
+    aw = AsyncWriter(EmbeddingWriter(path, embed_dim=D))
+    aw.submit_chunk("v", np.zeros((4, D), np.float32))
+    aw.submit_chunk("v", np.zeros((4, D + 3), np.float32))  # wrong dim -> h5py error
+    with pytest.raises(Exception):
+        aw.close()
+
+
+def test_async_writer_streaming_roundtrip(tmp_path):
+    """submit_chunk/finalize_video through the writer thread produce the
+    same layout as a direct open_stream, incl. labels and attrs."""
+    from vimoclip_tpu.data.hdf5_schema import AsyncWriter
+
+    path = str(tmp_path / "r.h5")
+    aw = AsyncWriter(EmbeddingWriter(path, embed_dim=D, num_classes=3))
+    aw.submit_chunk("v1", np.ones((4, D), np.float32))
+    aw.submit_chunk("v1", 2 * np.ones((2, D), np.float32))
+    lab = np.array([0, 1, 0], np.float32)
+    aw.finalize_video("v1", labels=lab, original_frames=10)
+    aw.submit("v2", np.zeros((3, D), np.float32))  # whole-video interleaved
+    aw.abort_video("v1_missing")  # abort of unknown vid is a no-op
+    aw.close()
+    with h5py.File(path, "r") as f:
+        assert f["v1"]["embeddings"].shape == (6, D)
+        np.testing.assert_array_equal(f["v1"]["embeddings"][4:], 2.0)
+        np.testing.assert_array_equal(f["v1"]["labels"][:], lab)
+        assert f["v1"].attrs["total_frames"] == 6
+        assert f["v1"].attrs["original_frames"] == 10
+        assert f["v2"]["embeddings"].shape == (3, D)
+        assert sorted(f["video_ids"].asstr()[:]) == ["v1", "v2"]
