@@ -157,3 +157,28 @@ def test_export_resume_retries_crash_truncated_group(videos, params, tmp_path):
     # and a genuine resume still skips the now-complete group
     counts = exporter.export([first], out)
     assert counts == {"processed": 0, "skipped": 1, "errors": 0}
+
+
+def test_export_resume_trusts_reference_written_groups(videos, params, tmp_path):
+    """Reference-pipeline HDF5 files never write a 'complete' attr but DO
+    finalize with total_frames (inference_frame_diff.py) — resume must skip
+    those, while still retrying our crash artifacts (no attrs at all)."""
+    import h5py
+
+    from vimoclip_tpu.export import MotionEmbeddingExporter
+
+    out = str(tmp_path / "ref.h5")
+    paths = find_motion_videos(videos)
+    ref_vid = os.path.splitext(os.path.basename(paths[0]))[0]
+    with h5py.File(out, "w") as f:
+        g = f.create_group(ref_vid)  # reference-style finalized group
+        g.create_dataset("embeddings", data=np.zeros((7, 16), np.float32))
+        g.attrs["total_frames"] = 7
+    exporter = MotionEmbeddingExporter(params, CFG, chunk_size=4,
+                                       half_precision=False)
+    counts = exporter.export(paths, out)
+    assert counts["skipped"] == 1  # the reference-written group
+    assert counts["processed"] == len(paths) - 1
+    with h5py.File(out, "r") as f:
+        # untouched reference group (would be (7,16) zeros only if skipped)
+        np.testing.assert_array_equal(f[ref_vid]["embeddings"][:], 0.0)

@@ -346,3 +346,34 @@ def test_streaming_abort_rolls_back_partial_video(corpus, params, tmp_path,
         assert groups == {"v0.mp4", "v1.mp4", "v2.mp4"}
         # index still lists every annotated id (reference :118-119)
         assert "v3.mp4" in list(f["video_ids"].asstr()[:])
+
+
+def test_max_frames_respected_when_container_underreports(corpus, params,
+                                                          tmp_path, monkeypatch):
+    """CAP_PROP_FRAME_COUNT is metadata, not truth: a video whose container
+    claims total <= max_frames but decodes more must still be capped by the
+    post-hoc subsampling guard — i.e. it must NOT take the streaming path
+    (which finalizes without subsampling)."""
+    import vimoclip_tpu.data.video_reader as vr
+    import vimoclip_tpu.extraction as ex
+
+    root, lengths = corpus
+    real_count = vr.video_frame_count
+
+    def lying_count(path):
+        if "v3" in path:  # actually 12 frames
+            return 3
+        return real_count(path)
+
+    monkeypatch.setattr(vr, "video_frame_count", lying_count)
+    out = str(tmp_path / "lied.h5")
+    create_hdf5_dataset(
+        data_root=root,
+        annotation_file=os.path.join(root, "train.txt"),
+        class_file=os.path.join(root, "classes.csv"),
+        output_hdf5=out, params=params, config=CFG,
+        batch_size=4, max_frames=4, stream_rows=2,
+    )
+    with h5py.File(out, "r") as f:
+        assert f["v3.mp4"]["embeddings"].shape[0] == 4  # capped post-hoc
+        assert f["v3.mp4"].attrs["total_frames"] == 4

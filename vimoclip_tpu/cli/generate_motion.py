@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--flow-weights", default=None,
                    help="raft backend: ptlflow checkpoint name/path, or a "
                         "serialized torch module when ptlflow is absent")
+    p.add_argument("--flow-model", default="raft",
+                   help="ptlflow architecture name for --flow-backend raft "
+                        "(e.g. raft, gma, flowformer); used only when "
+                        "ptlflow is installed")
     p.add_argument("--flow-device", default="cpu",
                    help="torch device for the raft backend")
     p.add_argument("--no-skip-existing", action="store_true")
@@ -39,7 +43,8 @@ def main(argv: list[str] | None = None) -> None:
     flow_fn = None
     if args.kind == "flow":
         flow_fn = load_flow_backend(
-            args.flow_backend, weights=args.flow_weights, device=args.flow_device
+            args.flow_backend, weights=args.flow_weights,
+            device=args.flow_device, model_name=args.flow_model,
         )
     errors = process_video_list(
         args.list_file, args.input_dir, args.output_dir, kind=args.kind,

@@ -102,7 +102,6 @@ class EmbeddingWriter:
         self.compression = compression
         self.embed_dim = embed_dim
         self.chunk_rows = chunk_rows
-        self._video_ids: list[str] = []
         self._explicit_ids: list[str] | None = None
         self.root = (
             self._file.require_group(nested_prefix) if nested_prefix else self._file
@@ -136,7 +135,6 @@ class EmbeddingWriter:
         g.attrs["original_frames"] = (
             original_frames if original_frames is not None else len(embeddings)
         )
-        self._video_ids.append(video_id)
 
     # -- streaming write (MN extractor / exporter layout) ------------------
     def has_video(self, video_id: str) -> bool:
@@ -154,7 +152,6 @@ class EmbeddingWriter:
             compression=self.compression,
             chunks=(chunk_rows, self.embed_dim),
         )
-        self._video_ids.append(video_id)
         return _StreamingVideo(self._file, g, ds)
 
     def delete_video(self, video_id: str) -> None:
@@ -164,8 +161,6 @@ class EmbeddingWriter:
         (extract_embeddings.py:113-115)."""
         if video_id in self.root:
             del self.root[video_id]
-        if video_id in self._video_ids:
-            self._video_ids.remove(video_id)
 
     def annotate_error(self, video_id: str, error: str, key: str = "error") -> None:
         """Persist a per-video failure without aborting the run

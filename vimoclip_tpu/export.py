@@ -116,11 +116,19 @@ class MotionEmbeddingExporter:
                 video_id = os.path.splitext(os.path.basename(path))[0]
                 if video_id in h5f:
                     g = h5f[video_id]
-                    # Absent 'complete' defaults to FALSE: a group whose
-                    # process was SIGKILLed between chunk writes and finalize
-                    # has embeddings but no attrs, and must be retried, not
-                    # trusted (round-1 ADVICE finding).
-                    if "embeddings" in g and g.attrs.get("complete", False):
+                    # A group is trusted on resume if it says complete=True,
+                    # OR if it carries total_frames but no 'complete' attr at
+                    # all — that is a finalized group from the reference
+                    # pipeline (inference_frame_diff.py writes total_frames,
+                    # never 'complete'). Our own crash-truncated groups have
+                    # complete=False (stamped before the first chunk) or, in
+                    # the SIGKILL-between-create-and-stamp window, neither
+                    # attr — both retried (round-1 ADVICE finding).
+                    finalized = g.attrs.get(
+                        "complete",
+                        "complete" not in g.attrs and "total_frames" in g.attrs,
+                    )
+                    if "embeddings" in g and finalized:
                         counts["skipped"] += 1
                         continue
                     del h5f[video_id]  # retry incomplete/failed groups

@@ -438,12 +438,16 @@ def create_hdf5_dataset(
                     )
 
     # Streaming eligibility: a video may stream (bounded host RAM, MN-style
-    # resizable appends) unless its full embedding array is needed post-hoc
-    # for subsampling — i.e. max_frames is set but the container didn't
-    # report a frame count upfront.
+    # resizable appends) unless the post-hoc max_frames guard might need its
+    # full embedding array. Only pre-filtered videos stream when max_frames
+    # is set: a video whose container merely CLAIMS total <= max_frames
+    # could decode more (CAP_PROP_FRAME_COUNT is metadata, not truth), and
+    # the whole-video path keeps the `len(emb) > max_frames` backstop.
+    # Pre-filtered videos are safe either way — the filter admits at most
+    # max_frames indices regardless of how many frames actually decode.
     stream_ok: set[str] | None = None
     if max_frames is not None:
-        stream_ok = set(container_total)
+        stream_ok = set(frame_filter)
 
     def done(vid, emb):
         if emb is None:  # fully streamed: finalize labels + attrs

@@ -256,7 +256,14 @@ class TFAM(nn.Module):
                 x * inc[None, :, None].astype(x.dtype), axis=1
             ) / jnp.maximum(denom, 1).astype(x.dtype)
 
-        h = nn.LayerNorm(epsilon=_LN_EPS, name="classifier_norm")(pooled)
+        # Head in float32 even when the trunk runs bf16: the classifier is
+        # tiny, f32 logits stabilise the loss, and — decisive for
+        # DeviceMultilabelAveragePrecision — full-mantissa logits avoid the
+        # frequent exact ties an 8-bit bf16 mantissa produces, which would
+        # make the on-device ranking metric diverge from the host metric.
+        h = nn.LayerNorm(epsilon=_LN_EPS, name="classifier_norm")(
+            pooled.astype(jnp.float32)
+        )
         h = nn.Dense(cfg.d_model // 2, name="classifier_dense1")(h)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
         h = nn.Dropout(cfg.mlp_dropout, deterministic=deterministic)(h)

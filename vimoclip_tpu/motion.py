@@ -185,13 +185,20 @@ def load_flow_backend(
     backend: str = "farneback",
     weights: str | None = None,
     device: str = "cpu",
+    model_name: str = "raft",
+    divisor: int = 8,
 ) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
     """Resolve a ``flow_fn`` by name: ``farneback`` (in-repo OpenCV) or
-    ``raft`` (any ptlflow model via :class:`PtlflowAdapter`)."""
+    ``raft`` (any ptlflow model via :class:`PtlflowAdapter` —
+    ``model_name`` picks the ptlflow architecture when ptlflow is
+    installed, e.g. ``gma``/``flowformer``; ``divisor`` its stride)."""
     if backend == "farneback":
         return farneback_flow
     if backend == "raft":
-        return PtlflowAdapter.from_weights(weights=weights, device=device)
+        return PtlflowAdapter.from_weights(
+            weights=weights, model_name=model_name, device=device,
+            divisor=divisor,
+        )
     raise ValueError(f"unknown flow backend {backend!r}")
 
 
