@@ -41,6 +41,10 @@ class TrainingConfig:
     # every logit matrix (metrics.DeviceMultilabelAveragePrecision) —
     # tie-handling caveat documented there.
     device_metric: bool = False
+    # PRNG bit generator for dropout keys: "rbg" halves the TFAM train step
+    # on TPU vs "threefry2x32" (t^2 attention-dropout masks dominate);
+    # deterministic per impl (vimoclip_tpu.prng.KeyChain).
+    dropout_rng_impl: str = "rbg"
     data_parallel: int = -1
     model_parallel: int = 1
     half_precision: bool = False  # bfloat16 activations

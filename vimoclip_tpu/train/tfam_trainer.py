@@ -89,7 +89,9 @@ class TFAMTrainer:
             config=config.model, num_classes=config.num_classes,
             dtype=jnp.bfloat16 if config.training.half_precision else jnp.float32,
         )
-        self.keys = KeyChain(config.training.seed)
+        self.keys = KeyChain(
+            config.training.seed, impl=config.training.dropout_rng_impl
+        )
         self.metric = _make_metric(config)
         self.loss_fn = _loss_fn_for(config)
         self.writer = SummaryWriter(log_dir)
