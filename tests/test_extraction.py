@@ -377,3 +377,52 @@ def test_max_frames_respected_when_container_underreports(corpus, params,
     with h5py.File(out, "r") as f:
         assert f["v3.mp4"]["embeddings"].shape[0] == 4  # capped post-hoc
         assert f["v3.mp4"].attrs["total_frames"] == 4
+
+
+def test_extractor_mesh_sharded_matches_sequential(corpus, params):
+    """A mesh-backed extractor shards each packed frame batch over the data
+    axis (params replicated); embeddings must equal the single-device run."""
+    import pytest
+
+    from vimoclip_tpu.parallel import MeshConfig, create_mesh
+
+    root, lengths = corpus
+    videos = [(vid, os.path.join(root, vid)) for vid in lengths]
+    mesh = create_mesh(MeshConfig(8, 1))
+    sharded = ClipExtractor(params, CFG, batch_size=8, half_precision=False,
+                            decode_workers=2, mesh=mesh)
+    plain = ClipExtractor(params, CFG, batch_size=8, half_precision=False,
+                          decode_workers=2)
+    got_s, got_p = {}, {}
+    assert sharded.extract(videos, lambda v, e: got_s.__setitem__(v, e)) == {}
+    assert plain.extract(videos, lambda v, e: got_p.__setitem__(v, e)) == {}
+    for vid in lengths:
+        np.testing.assert_allclose(got_s[vid], got_p[vid], rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divisible"):
+        ClipExtractor(params, CFG, batch_size=6, mesh=mesh)
+
+
+def test_cli_float32_flag_controls_dtype(corpus, params, tmp_path, monkeypatch):
+    """--float32 must actually reach the extractor (it was parsed but
+    dropped before round 2 — the reference's ignored-YAML-lr trap)."""
+    import vimoclip_tpu.extraction as ex
+
+    seen = {}
+    real = ex.ClipExtractor
+
+    class Spy(real):
+        def __init__(self, *a, **kw):
+            seen["half_precision"] = kw.get("half_precision")
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(ex, "ClipExtractor", Spy)
+    root, _ = corpus
+    ex.create_hdf5_dataset(
+        data_root=root,
+        annotation_file=os.path.join(root, "train.txt"),
+        class_file=os.path.join(root, "classes.csv"),
+        output_hdf5=str(tmp_path / "f32.h5"), params=params, config=CFG,
+        batch_size=4, half_precision=False,
+    )
+    assert seen["half_precision"] is False

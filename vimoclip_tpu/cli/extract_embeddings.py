@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> None:
                         "embedding instead of running the ViT")
     p.add_argument("--float32", action="store_true",
                    help="full-precision forward (default bfloat16)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each frame batch over this many devices "
+                        "(one ViT forward spans the mesh's data axis)")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -43,6 +46,12 @@ def main(argv: list[str] | None = None) -> None:
     from vimoclip_tpu.models.pretrained import load_clip_vision
 
     config, params = load_clip_vision(args.clip_weights)
+    mesh = None
+    if args.data_parallel > 1:
+        from vimoclip_tpu.parallel import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(args.data_parallel, 1))
+        logging.info("extraction mesh: %d-way data parallel", args.data_parallel)
     logging.info("CLIP visual tower: patch %d, %d layers, proj %d",
                  config.patch_size, config.num_layers, config.projection_dim)
 
@@ -61,6 +70,10 @@ def main(argv: list[str] | None = None) -> None:
         clip_model_name=f"ViT-B/{config.patch_size}",
         compression=None if args.no_compression else "gzip",
         dedup_threshold=args.dedup_threshold,
+        mesh=mesh,
+        # --float32 was parsed but never plumbed before round 2 — the same
+        # trap as the reference's ignored YAML lr (docs/QUIRKS.md #3).
+        half_precision=not args.float32,
     )
     logging.info("done in %.1fs; %d errors", time.time() - start, len(errors))
     for vid, err in errors.items():

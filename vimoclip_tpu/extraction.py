@@ -93,6 +93,7 @@ class ClipExtractor:
         decode_workers: int = 4,
         frame_queue_blocks: int = 32,
         dedup_threshold: float | None = None,
+        mesh=None,
     ):
         """``dedup_threshold``: opt-in temporal-redundancy gating — frames
         whose mean absolute pixel delta to the previously EMBEDDED frame of
@@ -100,7 +101,15 @@ class ClipExtractor:
         reuse that frame's embedding instead of running the ViT. Dense video
         is highly redundant (cf. ResidualViT, arXiv:2509.13255), so this
         buys algorithmic speedup beyond the compute-bound ceiling; outputs
-        deviate from exact per-frame embeddings, hence opt-in."""
+        deviate from exact per-frame embeddings, hence opt-in.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — the packed frame batch is
+        sharded over the ``data`` axis (params replicated), so one extractor
+        drives a whole slice; XLA splits each forward across chips with no
+        other code change. ``batch_size`` must divide by the data-axis size
+        (the tail batch is already padded to ``batch_size``). None = the
+        single-device path.
+        """
         self.config = config
         self.batch_size = batch_size
         self.decode_workers = decode_workers
@@ -108,6 +117,17 @@ class ClipExtractor:
         self.dedup_threshold = dedup_threshold
         dtype = jnp.bfloat16 if half_precision else jnp.float32
         encoder = ClipVisionEncoder(config, dtype=dtype)
+        self._frame_sharding = None
+        if mesh is not None:
+            from vimoclip_tpu.parallel import batch_sharding, replicated_sharding
+
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data axis "
+                    f"{mesh.shape['data']}"
+                )
+            params = jax.device_put(params, replicated_sharding(mesh))
+            self._frame_sharding = batch_sharding(mesh)
         self.params = params
 
         @jax.jit
@@ -116,6 +136,11 @@ class ClipExtractor:
             return encoder.apply({"params": params}, pixels).astype(jnp.float32)
 
         self._embed = embed
+
+    def _to_device(self, stack: np.ndarray):
+        if self._frame_sharding is not None:
+            return jax.device_put(stack, self._frame_sharding)
+        return jnp.asarray(stack)
 
     # ------------------------------------------------------------------
     def _decode_into(
@@ -251,7 +276,7 @@ class ClipExtractor:
             n = stack.shape[0]
             stack = pad_to_batch(stack, self.batch_size)
             inflight.append(
-                (self._embed(self.params, jnp.asarray(stack)), list(owners), n)
+                (self._embed(self.params, self._to_device(stack)), list(owners), n)
             )
             buffers[shape_key] = ([], [])
             while len(inflight) > 1:
@@ -392,6 +417,8 @@ def create_hdf5_dataset(
     compression: str | None = "gzip",
     dedup_threshold: float | None = None,
     stream_rows: int = 2048,
+    mesh=None,
+    half_precision: bool = True,
 ) -> dict[str, str]:
     """End-to-end extraction to the reference HDF5 layout — the public
     surface of extract_embeddings.py:23."""
@@ -418,7 +445,8 @@ def create_hdf5_dataset(
         )
     )
     extractor = ClipExtractor(params, config, batch_size=batch_size,
-                              dedup_threshold=dedup_threshold)
+                              dedup_threshold=dedup_threshold, mesh=mesh,
+                              half_precision=half_precision)
 
     # Subsample BEFORE embedding when the container reports a frame count
     # (reference computes indices first, extract_embeddings.py:77-84);
