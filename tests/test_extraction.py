@@ -426,3 +426,52 @@ def test_cli_float32_flag_controls_dtype(corpus, params, tmp_path, monkeypatch):
         batch_size=4, half_precision=False,
     )
     assert seen["half_precision"] is False
+
+
+def test_sharded_extraction_and_merge(corpus, params, tmp_path):
+    """--num-shards extraction over a strided annotation split, merged with
+    h5_merge, must equal the unsharded file (groups, embeddings, labels,
+    attrs, video_ids coverage)."""
+    from vimoclip_tpu.cli.h5_merge import main as merge_main, merge
+
+    root, lengths = corpus
+    common = dict(
+        data_root=root,
+        annotation_file=os.path.join(root, "train.txt"),
+        class_file=os.path.join(root, "classes.csv"),
+        params=params, config=CFG, batch_size=4, split="train",
+    )
+    whole = str(tmp_path / "whole.h5")
+    create_hdf5_dataset(output_hdf5=whole, **common)
+    shard_paths = []
+    for i in range(2):
+        sp = str(tmp_path / f"shard{i}.h5")
+        create_hdf5_dataset(output_hdf5=sp, num_shards=2, shard_index=i,
+                            **common)
+        shard_paths.append(sp)
+    merged = str(tmp_path / "merged.h5")
+    assert merge_main(shard_paths + ["--output", merged]) == 0
+
+    with h5py.File(whole, "r") as fw, h5py.File(merged, "r") as fm:
+        gw = {k for k in fw if isinstance(fw[k], h5py.Group)}
+        gm = {k for k in fm if isinstance(fm[k], h5py.Group)}
+        assert gw == gm
+        assert fm.attrs["num_classes"] == fw.attrs["num_classes"]
+        for vid in gw:
+            np.testing.assert_allclose(fm[vid]["embeddings"][:],
+                                       fw[vid]["embeddings"][:],
+                                       rtol=1e-5, atol=1e-6)
+            assert fm[vid].attrs["total_frames"] == fw[vid].attrs["total_frames"]
+        # every annotated id indexed exactly once across shards
+        assert sorted(fm["video_ids"].asstr()[:]) == \
+            sorted(fw["video_ids"].asstr()[:])
+
+    # overlapping shards are rejected
+    import pytest
+    with pytest.raises(ValueError, match="duplicate"):
+        merge([shard_paths[0], shard_paths[0]], str(tmp_path / "dup.h5"))
+
+    # shard_index validation
+    with pytest.raises(ValueError, match="shard_index"):
+        create_hdf5_dataset(output_hdf5=str(tmp_path / "bad.h5"),
+                            num_shards=2, shard_index=2, **common)

@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> None:
                         "embedding instead of running the ViT")
     p.add_argument("--float32", action="store_true",
                    help="full-precision forward (default bfloat16)")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="split the annotation list over this many extraction "
+                        "jobs (pair with --shard-index; merge outputs with "
+                        "vimo-h5-merge)")
+    p.add_argument("--shard-index", type=int, default=0)
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard each frame batch over this many devices "
                         "(one ViT forward spans the mesh's data axis)")
@@ -74,6 +79,8 @@ def main(argv: list[str] | None = None) -> None:
         # --float32 was parsed but never plumbed before round 2 — the same
         # trap as the reference's ignored YAML lr (docs/QUIRKS.md #3).
         half_precision=not args.float32,
+        num_shards=args.num_shards,
+        shard_index=args.shard_index,
     )
     logging.info("done in %.1fs; %d errors", time.time() - start, len(errors))
     for vid, err in errors.items():

@@ -419,12 +419,25 @@ def create_hdf5_dataset(
     stream_rows: int = 2048,
     mesh=None,
     half_precision: bool = True,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> dict[str, str]:
     """End-to-end extraction to the reference HDF5 layout — the public
-    surface of extract_embeddings.py:23."""
+    surface of extract_embeddings.py:23.
+
+    ``num_shards``/``shard_index`` process a strided slice of the
+    annotation list (corpus split across machines/jobs; each shard writes
+    its own file — merge with ``cli/h5_merge.py``). The shard's
+    ``video_ids`` index covers its own annotated ids, so merged shards
+    reconstruct the reference's full index.
+    """
     class_map = load_class_map(class_file)
     num_classes = len(class_map)
     annotations = load_annotations(annotation_file)
+    if not 0 <= shard_index < num_shards:
+        raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+    if num_shards > 1:
+        annotations = annotations[shard_index::num_shards]
 
     videos, labels_by_vid, skipped = [], {}, {}
     for vid, labels in annotations:
