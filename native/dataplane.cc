@@ -314,3 +314,200 @@ long vimo_read_window(void* h, long start, long num, void* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Corpus decode pool: a native scheduler/executor that decodes MANY videos
+// concurrently and hands frame blocks to one consumer — the C++ replacement
+// for the extraction pipeline's Python worker threads (the reference has no
+// equivalent; its hot loop is fully serialized, extract_embeddings.py:61-115).
+// Python stays out of the decode path entirely: workers open/decode/convert
+// and park ready blocks in a bounded queue; the consumer peeks (metadata)
+// then takes (one memcpy into a caller-owned numpy buffer).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PoolBlock {
+  long job_id = 0;
+  long n = 0;  // frames in this block
+  int w = 0, h = 0;
+  bool final_ = false;
+  int err = 0;  // 0 ok; 1 open failed; 2 decode error; 3 no frames decoded
+  std::vector<uint8_t> data;  // (n, h, w, 3)
+};
+
+struct PoolJob {
+  long job_id;
+  std::string path;
+};
+
+struct VimoPool {
+  int chunk;
+  size_t max_ready;
+  std::vector<std::thread> workers;
+  std::deque<PoolJob> jobs;
+  std::deque<PoolBlock> ready;
+  std::mutex mu;
+  std::condition_variable cv_jobs;   // workers wait for jobs / space
+  std::condition_variable cv_ready;  // consumer waits for blocks
+  bool sealed = false;
+  long active = 0;  // jobs currently being decoded
+
+  void push_block(PoolBlock&& b) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_jobs.wait(lk, [this] { return ready.size() < max_ready; });
+    ready.push_back(std::move(b));
+    cv_ready.notify_one();
+  }
+
+  void run() {
+    while (true) {
+      PoolJob job;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_jobs.wait(lk, [this] { return sealed || !jobs.empty(); });
+        if (jobs.empty()) return;  // sealed and drained
+        job = std::move(jobs.front());
+        jobs.pop_front();
+        active++;
+      }
+      decode_one(job);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        active--;
+      }
+      cv_ready.notify_one();  // consumer may now observe drained state
+    }
+  }
+
+  void decode_one(const PoolJob& job) {
+    void* h = vimo_open(job.path.c_str());
+    if (!h) {
+      PoolBlock b;
+      b.job_id = job.job_id;
+      b.final_ = true;
+      b.err = 1;
+      push_block(std::move(b));
+      return;
+    }
+    int w = 0, ht = 0;
+    vimo_dims(h, &w, &ht);
+    long pos = 0;
+    const size_t frame_bytes = (size_t)w * ht * 3;
+    while (true) {
+      PoolBlock b;
+      b.job_id = job.job_id;
+      b.w = w;
+      b.h = ht;
+      b.data.resize((size_t)chunk * frame_bytes);
+      long got = vimo_read_window(h, pos, chunk, b.data.data());
+      if (got < 0) {
+        b.data.clear();
+        b.n = 0;
+        b.final_ = true;
+        b.err = 2;
+        push_block(std::move(b));
+        break;
+      }
+      b.n = got;
+      b.data.resize((size_t)got * frame_bytes);
+      pos += got;
+      if (got < chunk) {  // EOF
+        b.final_ = true;
+        if (pos == 0) b.err = 3;  // nothing decoded at all
+        push_block(std::move(b));
+        break;
+      }
+      push_block(std::move(b));
+    }
+    vimo_close(h);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* vimo_pool_create(int workers, int chunk_frames, int max_ready) {
+  auto* p = new VimoPool();
+  p->chunk = chunk_frames > 0 ? chunk_frames : 128;
+  p->max_ready = max_ready > 0 ? (size_t)max_ready : 16;
+  int n = workers > 0 ? workers : (int)std::thread::hardware_concurrency();
+  if (n < 1) n = 1;
+  for (int i = 0; i < n; i++)
+    p->workers.emplace_back([p] { p->run(); });
+  return p;
+}
+
+int vimo_pool_submit(void* hp, long job_id, const char* path) {
+  auto* p = static_cast<VimoPool*>(hp);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    if (p->sealed) return -1;
+    p->jobs.push_back(PoolJob{job_id, path});
+  }
+  p->cv_jobs.notify_one();
+  return 0;
+}
+
+void vimo_pool_seal(void* hp) {
+  auto* p = static_cast<VimoPool*>(hp);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->sealed = true;
+  }
+  p->cv_jobs.notify_all();
+}
+
+// Wait for the next block. Returns 1 (block available; metadata filled) or
+// 0 (pool sealed and fully drained — no more blocks will ever arrive).
+int vimo_pool_peek(void* hp, long* job_id, long* n, int* w, int* h,
+                   int* final_flag, int* err) {
+  auto* p = static_cast<VimoPool*>(hp);
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_ready.wait(lk, [p] {
+    return !p->ready.empty() || (p->sealed && p->jobs.empty() && p->active == 0);
+  });
+  if (p->ready.empty()) return 0;
+  const PoolBlock& b = p->ready.front();
+  *job_id = b.job_id;
+  *n = b.n;
+  *w = b.w;
+  *h = b.h;
+  *final_flag = b.final_ ? 1 : 0;
+  *err = b.err;
+  return 1;
+}
+
+// Copy the peeked block's frames into out ((n, h, w, 3) uint8) and pop it.
+// Returns the frame count (0 for empty/error blocks; out may be null then).
+long vimo_pool_take(void* hp, void* out) {
+  auto* p = static_cast<VimoPool*>(hp);
+  PoolBlock b;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    if (p->ready.empty()) return -1;
+    b = std::move(p->ready.front());
+    p->ready.pop_front();
+  }
+  p->cv_jobs.notify_all();  // freed queue space
+  if (b.n > 0 && out)
+    std::memcpy(out, b.data.data(), b.data.size());
+  return b.n;
+}
+
+void vimo_pool_destroy(void* hp) {
+  auto* p = static_cast<VimoPool*>(hp);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->sealed = true;
+    p->jobs.clear();
+    // unblock workers stuck waiting for queue space
+    p->max_ready = (size_t)1 << 40;
+  }
+  p->cv_jobs.notify_all();
+  for (auto& t : p->workers) t.join();
+  delete p;
+}
+
+}  // extern "C"

@@ -54,6 +54,24 @@ def _load():
         ctypes.c_long,
         ctypes.c_void_p,
     ]
+    lib.vimo_pool_create.restype = ctypes.c_void_p
+    lib.vimo_pool_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.vimo_pool_submit.restype = ctypes.c_int
+    lib.vimo_pool_submit.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p]
+    lib.vimo_pool_seal.argtypes = [ctypes.c_void_p]
+    lib.vimo_pool_peek.restype = ctypes.c_int
+    lib.vimo_pool_peek.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vimo_pool_take.restype = ctypes.c_long
+    lib.vimo_pool_take.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.vimo_pool_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -91,6 +109,89 @@ class _Decoder:
         if self._h:
             self._lib.vimo_close(self._h)
             self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+_POOL_ERRORS = {
+    1: "could not open video",
+    2: "native decode failed",
+    3: "no frames decoded",
+}
+
+
+class DecodePool:
+    """Native corpus decode pool — a C++ scheduler that decodes many videos
+    concurrently (workers + bounded ready queue live entirely in
+    ``native/dataplane.cc``; Python only submits paths and drains blocks).
+
+    Replaces the extraction pipeline's Python decode threads: no GIL in the
+    decode path, one memcpy per block into numpy. Usage::
+
+        with DecodePool(workers=8, chunk_frames=128) as pool:
+            for vid, path in videos:
+                pool.submit(vid, path)
+            pool.seal()
+            for vid, frames, final, error in pool:
+                ...  # frames: (n, H, W, 3) uint8 RGB, in-order per video
+    """
+
+    def __init__(self, workers: int = 0, chunk_frames: int = 128,
+                 max_ready: int = 16):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native data plane not built")
+        self._lib = lib
+        self._h = lib.vimo_pool_create(workers, chunk_frames, max_ready)
+        self._ids: dict[int, str] = {}
+        self._next = 0
+
+    def submit(self, video_id: str, path: str) -> None:
+        job = self._next
+        self._next += 1
+        self._ids[job] = video_id
+        if self._lib.vimo_pool_submit(self._h, job, path.encode()) != 0:
+            raise RuntimeError("submit after seal")
+
+    def seal(self) -> None:
+        self._lib.vimo_pool_seal(self._h)
+
+    def __iter__(self):
+        import ctypes as ct
+
+        jid, n = ct.c_long(), ct.c_long()
+        w, h, fin, err = ct.c_int(), ct.c_int(), ct.c_int(), ct.c_int()
+        while self._lib.vimo_pool_peek(
+            self._h, ct.byref(jid), ct.byref(n), ct.byref(w), ct.byref(h),
+            ct.byref(fin), ct.byref(err),
+        ):
+            frames = np.empty((n.value, h.value, w.value, 3), dtype=np.uint8)
+            got = self._lib.vimo_pool_take(
+                self._h,
+                frames.ctypes.data_as(ct.c_void_p) if n.value else None,
+            )
+            assert got == n.value, (got, n.value)
+            yield (
+                self._ids[jid.value],
+                frames,
+                bool(fin.value),
+                _POOL_ERRORS.get(err.value),
+            )
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.vimo_pool_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __del__(self):
         try:

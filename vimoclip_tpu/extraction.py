@@ -169,6 +169,58 @@ class ClipExtractor:
                 errors[video_id] = str(e)
                 blocks.put(_FrameBlock(video_id, np.zeros((0, 1, 1, 3), np.uint8), True))
 
+    def _start_decoders(self, videos, blocks, errors) -> list[threading.Thread]:
+        """Start the decode backend feeding ``blocks``.
+
+        With the native plane built and opted in (VIMO_NATIVE_DECODE=1), the
+        C++ corpus pool (data/native.py DecodePool, native/dataplane.cc)
+        decodes videos concurrently with zero Python in the decode path; one
+        pump thread drains its bounded queue into ``blocks``. Otherwise N
+        Python threads run the per-video OpenCV/libav decoder (the GIL is
+        released inside decode calls, so they still overlap device compute).
+        Both backends emit the same per-video block stream: in-order frames,
+        exactly one final block, errors surfaced via ``errors``.
+        """
+        from vimoclip_tpu.data.video_reader import _native_backend
+
+        native = _native_backend()
+        if native is not None and hasattr(native, "DecodePool"):
+            def pump():
+                with native.DecodePool(
+                    workers=self.decode_workers,
+                    chunk_frames=self.batch_size,
+                    max_ready=self.frame_queue_blocks,
+                ) as pool:
+                    for vid, path in videos:
+                        pool.submit(vid, path)
+                    pool.seal()
+                    for vid, frames, final, error in pool:
+                        if error is not None:
+                            errors[vid] = error
+                            blocks.put(_FrameBlock(
+                                vid, np.zeros((0, 1, 1, 3), np.uint8), True))
+                            continue
+                        blocks.put(_FrameBlock(vid, frames, final))
+
+            t = threading.Thread(target=pump, daemon=True)
+            t.start()
+            return [t]
+
+        jobs: queue.Queue = queue.Queue()
+        for v in videos:
+            jobs.put(v)
+        workers = []
+        for _ in range(self.decode_workers):
+            jobs.put(None)
+            t = threading.Thread(
+                target=self._decode_into,
+                args=(jobs, blocks, errors, self.batch_size),
+                daemon=True,
+            )
+            t.start()
+            workers.append(t)
+        return workers
+
     def extract(
         self,
         videos: list[tuple[str, str]],  # (video_id, path)
@@ -205,21 +257,9 @@ class ClipExtractor:
         """
         if self.dedup_threshold is not None:
             on_video_chunk = None  # dedup needs the whole-video slot expansion
-        jobs: queue.Queue = queue.Queue()
         blocks: queue.Queue = queue.Queue(maxsize=self.frame_queue_blocks)
         errors: dict[str, str] = {}
-        for v in videos:
-            jobs.put(v)
-        workers = []
-        for _ in range(self.decode_workers):
-            jobs.put(None)
-            t = threading.Thread(
-                target=self._decode_into,
-                args=(jobs, blocks, errors, self.batch_size),
-                daemon=True,
-            )
-            t.start()
-            workers.append(t)
+        workers = self._start_decoders(videos, blocks, errors)
 
         import cv2
 
