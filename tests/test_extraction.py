@@ -462,9 +462,10 @@ def test_sharded_extraction_and_merge(corpus, params, tmp_path):
                                        fw[vid]["embeddings"][:],
                                        rtol=1e-5, atol=1e-6)
             assert fm[vid].attrs["total_frames"] == fw[vid].attrs["total_frames"]
-        # every annotated id indexed exactly once across shards
-        assert sorted(fm["video_ids"].asstr()[:]) == \
-            sorted(fw["video_ids"].asstr()[:])
+        # index matches the unsharded run EXACTLY, including order — the
+        # strided split is undone by round-robin interleave at merge
+        assert list(fm["video_ids"].asstr()[:]) == \
+            list(fw["video_ids"].asstr()[:])
 
     # overlapping shards are rejected
     import pytest

@@ -159,8 +159,7 @@ def test_keychain_prng_impl_deterministic():
     # bits flow into bernoulli (the dropout primitive) without error
     mask = jax.random.bernoulli(ka, 0.9, (16, 16))
     assert 0.5 < float(mask.mean()) <= 1.0
-    # threefry remains selectable for byte-compatible replays of old runs
+    # the impl actually selects a different generator: key data shapes/
+    # contents differ between threefry (2x uint32) and rbg (4x uint32)
     kt = KeyChain(49, impl="threefry2x32")("dropout", 3)
-    assert not jnp.array_equal(
-        jax.random.key_data(kt)[-1:], jax.random.key_data(ka)[-1:]
-    ) or True  # different impls: just assert construction works
+    assert jax.random.key_data(kt).shape != jax.random.key_data(ka).shape

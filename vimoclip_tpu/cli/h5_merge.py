@@ -13,17 +13,27 @@ extract_embeddings.py:118-119).
 from __future__ import annotations
 
 import argparse
+import itertools
 import sys
 
 import h5py
 import numpy as np
 
 
+def _interleave(per_shard: list[list[str]]) -> list[str]:
+    """Undo the extractor's strided split: shard i holds
+    ``annotations[i::n]``, so round-robin across shards reconstructs the
+    original annotation order exactly (uneven tails handled)."""
+    out: list[str] = []
+    for row in itertools.zip_longest(*per_shard):
+        out.extend(x for x in row if x is not None)
+    return out
+
+
 def merge(shard_paths: list[str], output: str) -> dict[str, int]:
-    """Merge ``shard_paths`` into ``output``. Returns counts. Raises on
-    duplicate group keys (overlapping shards)."""
-    stats = {"groups": 0, "video_ids": 0}
-    all_ids: list[str] = []
+    """Merge ``shard_paths`` (in shard-index order) into ``output``.
+    Returns counts. Raises on duplicate group keys (overlapping shards)."""
+    per_shard_ids: list[list[str]] = []
     with h5py.File(output, "w") as out:
         for i, path in enumerate(shard_paths):
             with h5py.File(path, "r") as f:
@@ -32,7 +42,7 @@ def merge(shard_paths: list[str], output: str) -> dict[str, int]:
                         out.attrs[k] = v
                 for key in f.keys():
                     if key == "video_ids":
-                        all_ids.extend(f["video_ids"].asstr()[:])
+                        per_shard_ids.append(list(f["video_ids"].asstr()[:]))
                         continue
                     if isinstance(f[key], h5py.Group) and key in out:
                         # nested layout (e.g. trimmed_videos/): merge children
@@ -42,18 +52,30 @@ def merge(shard_paths: list[str], output: str) -> dict[str, int]:
                                     f"duplicate group {key}/{sub} in {path}"
                                 )
                             f.copy(f[key][sub], out[key], name=sub)
-                            stats["groups"] += 1
                         continue
                     if key in out:
                         raise ValueError(f"duplicate group {key} in {path}")
                     f.copy(f[key], out, name=key)
-                    if isinstance(f[key], h5py.Group):
-                        stats["groups"] += 1
+        all_ids = _interleave(per_shard_ids)
         if all_ids:
             out.create_dataset(
                 "video_ids", data=np.array(all_ids, dtype=h5py.string_dtype())
             )
-            stats["video_ids"] = len(all_ids)
+        # video-group count from the merged file itself (a group is a video
+        # iff it holds an 'embeddings' dataset; containers like
+        # trimmed_videos/ are walked one level)
+        n_groups = 0
+        for key, node in out.items():
+            if not isinstance(node, h5py.Group):
+                continue
+            if "embeddings" in node:
+                n_groups += 1
+            else:
+                n_groups += sum(
+                    1 for sub in node.values()
+                    if isinstance(sub, h5py.Group) and "embeddings" in sub
+                )
+        stats = {"groups": n_groups, "video_ids": len(all_ids)}
     return stats
 
 

@@ -41,9 +41,10 @@ class TrainingConfig:
     # every logit matrix (metrics.DeviceMultilabelAveragePrecision) —
     # tie-handling caveat documented there.
     device_metric: bool = False
-    # PRNG bit generator for dropout keys: "rbg" halves the TFAM train step
-    # on TPU vs "threefry2x32" (t^2 attention-dropout masks dominate);
-    # deterministic per impl (vimoclip_tpu.prng.KeyChain).
+    # PRNG bit generator for the DROPOUT key stream only (init keys always
+    # use the default threefry, so initial weights do not depend on this):
+    # "rbg" halves the TFAM train step on TPU vs "threefry2x32" (t^2
+    # attention-dropout masks dominate); dropout bits deterministic per impl.
     dropout_rng_impl: str = "rbg"
     data_parallel: int = -1
     model_parallel: int = 1

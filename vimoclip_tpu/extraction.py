@@ -186,21 +186,40 @@ class ClipExtractor:
         native = _native_backend()
         if native is not None and hasattr(native, "DecodePool"):
             def pump():
-                with native.DecodePool(
-                    workers=self.decode_workers,
-                    chunk_frames=self.batch_size,
-                    max_ready=self.frame_queue_blocks,
-                ) as pool:
-                    for vid, path in videos:
-                        pool.submit(vid, path)
-                    pool.seal()
-                    for vid, frames, final, error in pool:
-                        if error is not None:
-                            errors[vid] = error
+                # The consumer waits for exactly one final block per video;
+                # ANY pump failure must still deliver them or extract()
+                # blocks forever — hence the blanket except emitting
+                # error-finals for every unfinished video (the same contract
+                # the per-video try/except gives the thread backend).
+                finals_sent: set[str] = set()
+                try:
+                    # Small native-side queue: the Python blocks queue
+                    # (frame_queue_blocks) is the real buffer; stacking two
+                    # full-size queues would double peak decoded-frame RAM.
+                    with native.DecodePool(
+                        workers=self.decode_workers,
+                        chunk_frames=self.batch_size,
+                        max_ready=4,
+                    ) as pool:
+                        for vid, path in videos:
+                            pool.submit(vid, path)
+                        pool.seal()
+                        for vid, frames, final, error in pool:
+                            if error is not None:
+                                errors[vid] = error
+                                finals_sent.add(vid)
+                                blocks.put(_FrameBlock(
+                                    vid, np.zeros((0, 1, 1, 3), np.uint8), True))
+                                continue
+                            if final:
+                                finals_sent.add(vid)
+                            blocks.put(_FrameBlock(vid, frames, final))
+                except Exception as e:  # pool died: fail pending videos
+                    for vid, _ in videos:
+                        if vid not in finals_sent:
+                            errors[vid] = f"native decode pool failed: {e}"
                             blocks.put(_FrameBlock(
                                 vid, np.zeros((0, 1, 1, 3), np.uint8), True))
-                            continue
-                        blocks.put(_FrameBlock(vid, frames, final))
 
             t = threading.Thread(target=pump, daemon=True)
             t.start()

@@ -89,7 +89,11 @@ class TFAMTrainer:
             config=config.model, num_classes=config.num_classes,
             dtype=jnp.bfloat16 if config.training.half_precision else jnp.float32,
         )
-        self.keys = KeyChain(
+        # Init keys stay on the default (threefry) generator so initial
+        # weights are identical regardless of dropout_rng_impl; only the
+        # dropout stream uses the impl-selected fast generator.
+        self.keys = KeyChain(config.training.seed)
+        self._dropout_keys = KeyChain(
             config.training.seed, impl=config.training.dropout_rng_impl
         )
         self.metric = _make_metric(config)
@@ -192,7 +196,7 @@ class TFAMTrainer:
         last_logits = last_labels = None
         for batch in progress(batches, desc=f"epoch {epoch+1}",
                               total=len(self.train_loader)):
-            key = self.keys("dropout", int(self.state.step))
+            key = self._dropout_keys("dropout", int(self.state.step))
             arrays = {k: v for k, v in batch.items() if k != "video_id"}
             self.state, loss, logits = self._train_step(self.state, arrays, key)
             total_loss += float(loss)
