@@ -75,3 +75,58 @@ def test_student_trainer_ce_variant(corpus, tmp_path, mesh8):
     )
     metrics = trainer.train_epoch(0)
     assert np.isfinite(metrics["total"])
+
+
+def test_mid_epoch_resume_exactly_matches_uninterrupted(corpus, tmp_path, mesh8):
+    """Beyond-reference elasticity: crash mid-epoch, resume from the last
+    periodic checkpoint, and land on BIT-IDENTICAL parameters vs a run that
+    never crashed (deterministic epoch-seeded shuffle + dropout-free
+    student + f32). The reference loses the whole epoch (train.py:167)."""
+    import jax
+
+    h5, vdir = corpus
+
+    def make(ckpt_dir, **kw):
+        return StudentTrainer(
+            SegmentDataset(h5, vdir, sequence_length=6),
+            SegmentDataset(h5, vdir, sequence_length=6),
+            checkpoint_dir=ckpt_dir,
+            vision_config=CFG, num_classes=C, lr=3e-3, batch_size=4,
+            num_workers=1, epochs=2, half_precision=False,
+            class_pos_weight=9.0, mesh=mesh8, data_parallel=4,
+            model_parallel=2, seed=49, **kw,
+        )
+
+    # --- reference run: no interruption ---
+    a = make(str(tmp_path / "a"))
+    n_batches = len(a.train_loader)
+    assert n_batches >= 3
+    a.train()
+    params_a = jax.tree.map(np.asarray, a.state.params)
+    steps_a = int(a.state.step)
+
+    # --- interrupted run: die after 3 steps of epoch 0 ---
+    b = make(str(tmp_path / "b"), checkpoint_every_steps=1)
+    real_step = b._train_step
+    count = {"n": 0}
+
+    class Crash(RuntimeError):
+        pass
+
+    def crashing_step(state, batch):
+        if count["n"] == 2:
+            raise Crash()
+        count["n"] += 1
+        return real_step(state, batch)
+
+    b._train_step = crashing_step
+    with pytest.raises(Crash):
+        b.train()
+
+    # --- fresh process resumes and finishes ---
+    c = make(str(tmp_path / "b"), checkpoint_every_steps=1, resume=True)
+    c.train()
+    params_c = jax.tree.map(np.asarray, c.state.params)
+    assert int(c.state.step) == steps_a
+    for pa, pc in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_c)):
+        np.testing.assert_array_equal(pa, pc)

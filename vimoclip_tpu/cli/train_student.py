@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="mammalnet = CE loss, nested trimmed_videos/ groups, "
                         "224x224 resize (train_frame_diff_mn.py)")
     p.add_argument("--float32", action="store_true")
+    p.add_argument("--checkpoint-every-steps", type=int, default=None,
+                   help="also checkpoint mid-epoch every N steps (stage-1 "
+                        "epochs decode the whole motion corpus; a crash "
+                        "without this loses the epoch)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint, including "
+                        "mid-epoch ones (exact-batch resume)")
     p.add_argument("--data-parallel", type=int, default=-1)
     p.add_argument("--model-parallel", type=int, default=1)
     args = p.parse_args(argv)
@@ -83,6 +90,8 @@ def main(argv: list[str] | None = None) -> None:
         seed=args.seed, data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
         half_precision=not args.float32,
+        checkpoint_every_steps=args.checkpoint_every_steps,
+        resume=args.resume,
     )
     best = trainer.train()
     logging.info("best val total loss: %.4f", best)

@@ -44,9 +44,15 @@ class BatchLoader:
         self.seed = seed
         self.num_workers = num_workers
         self._epoch = 0
+        self._start_batch = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """Position the loader. ``start_batch`` skips the first N batches of
+        this epoch's deterministic order WITHOUT loading them — mid-epoch
+        resume lands exactly where the interrupted run stopped (same seed +
+        epoch => same shuffle => same remaining batches)."""
         self._epoch = epoch
+        self._start_batch = start_batch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -68,6 +74,7 @@ class BatchLoader:
         batches = [
             order[i : i + self.batch_size] for i in range(0, end, self.batch_size)
         ]
+        batches = batches[self._start_batch:]
         if self.num_workers <= 1:
             for b in batches:
                 yield self.collate([self.dataset[int(i)] for i in b])

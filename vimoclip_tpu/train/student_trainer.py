@@ -71,7 +71,15 @@ class StudentTrainer:
         model_parallel: int = 1,
         half_precision: bool = True,
         mesh=None,
+        checkpoint_every_steps: int | None = None,
+        resume: bool = False,
     ):
+        """``checkpoint_every_steps``: also checkpoint mid-epoch every N
+        steps (stage-1 epochs over the full AK corpus decode every motion
+        video — hours of work the reference loses entirely on a crash,
+        train.py:167 saves per-epoch only). With ``resume=True`` training
+        continues from the latest checkpoint, mid-epoch ones landing on the
+        exact next batch (deterministic epoch-seeded shuffle)."""
         self.mesh = mesh if mesh is not None else create_mesh(
             MeshConfig(data_parallel, model_parallel)
         )
@@ -83,6 +91,8 @@ class StudentTrainer:
             dtype=jnp.bfloat16 if half_precision else jnp.float32,
         )
         self.epochs = epochs
+        self.checkpoint_every_steps = checkpoint_every_steps
+        self.resume = resume
         self.distill_mode = distill_mode
         self.class_loss = class_loss
         self.class_pos_weight = class_pos_weight
@@ -167,18 +177,26 @@ class StudentTrainer:
         for batch in prefetch_to_device(loader, sharding=self.batch_sharding):
             yield {k: v for k, v in batch.items() if k != "video_id"}
 
-    def train_epoch(self, epoch: int) -> dict:
-        self.train_loader.set_epoch(epoch)
+    def train_epoch(self, epoch: int, skip_batches: int = 0) -> dict:
+        self.train_loader.set_epoch(epoch, start_batch=skip_batches)
         sums = np.zeros(3)
         n = 0
         timer = StepTimer()
         batches = self._device_batches(self.train_loader)
         for batch in progress(batches, desc=f"epoch {epoch+1}",
-                              total=len(self.train_loader)):
+                              total=len(self.train_loader) - skip_batches):
             self.state, total, d_loss, c_loss = self._train_step(self.state, batch)
             sums += [float(total), float(d_loss), float(c_loss)]
             n += 1
             timer.tick(batch["labels"].shape[0])
+            if (self.checkpoint_every_steps
+                    and n % self.checkpoint_every_steps == 0
+                    and skip_batches + n < len(self.train_loader)):
+                # mid-epoch: batch_in_epoch = batches consumed this epoch
+                self.ckpt.save(
+                    self.state, f"step_{int(self.state.step)}",
+                    extra={"epoch": epoch, "batch_in_epoch": skip_batches + n},
+                )
             if self.writer and n % 10 == 0:
                 step = int(self.state.step)
                 self.writer.add_scalar("train/total_loss", float(total), step)
@@ -200,8 +218,21 @@ class StudentTrainer:
     def train(self) -> float:
         best_val = float("inf")
         start = time.time()
-        for epoch in range(self.epochs):
-            tr = self.train_epoch(epoch)
+        start_epoch, skip = 0, 0
+        if self.resume:
+            latest = self.ckpt.latest_step_name()
+            if latest:
+                self.state, extra = self.ckpt.restore(self.state, latest)
+                if "batch_in_epoch" in extra:  # mid-epoch checkpoint
+                    start_epoch = int(extra["epoch"])
+                    skip = int(extra["batch_in_epoch"])
+                else:  # epoch-end checkpoint: continue with the next epoch
+                    start_epoch = int(extra.get("epoch", -1)) + 1
+                logging.info("resumed from %s (epoch %d, batch %d)",
+                             latest, start_epoch, skip)
+        for epoch in range(start_epoch, self.epochs):
+            tr = self.train_epoch(epoch, skip_batches=skip)
+            skip = 0
             va = self.evaluate()
             # best-by-val-total-loss (train.py:170-175) — flip sign because
             # CheckpointManager tracks highest-metric
