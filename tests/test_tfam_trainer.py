@@ -243,3 +243,48 @@ def test_tfam_trainer_mammalnet_variant(tmp_path, mesh8):
     assert acc_after >= acc_before
     assert acc_after > 0.5  # learnable synthetic task
     assert 0.0 <= best <= 1.0
+
+
+def test_tfam_mid_epoch_resume_exact(config, tmp_path, mesh8):
+    """Mid-epoch crash + resume is BIT-identical to an uninterrupted run:
+    dropout keys derive from the restored step counter and the shuffle is
+    epoch-seeded, so the resumed run replays the exact remaining stream."""
+    import jax
+
+    config.training.epochs = 2
+    config.training.checkpoint_every_steps = 1
+
+    a = TFAMTrainer(config, log_dir=str(tmp_path / "la"),
+                    checkpoint_dir=str(tmp_path / "ca"), mesh=mesh8)
+    n_batches = len(a.train_loader)
+    assert n_batches >= 3
+    a.train()
+    params_a = jax.tree.map(np.asarray, a.state.params)
+    steps_a = int(a.state.step)
+
+    b = TFAMTrainer(config, log_dir=str(tmp_path / "lb"),
+                    checkpoint_dir=str(tmp_path / "cb"), mesh=mesh8)
+    real_step = b._train_step
+    count = {"n": 0}
+
+    class Crash(RuntimeError):
+        pass
+
+    def crashing_step(state, arrays, key):
+        if count["n"] == 2:
+            raise Crash()
+        count["n"] += 1
+        return real_step(state, arrays, key)
+
+    b._train_step = crashing_step
+    with pytest.raises(Crash):
+        b.train()
+
+    config.training.resume = True
+    c = TFAMTrainer(config, log_dir=str(tmp_path / "lc"),
+                    checkpoint_dir=str(tmp_path / "cb"), mesh=mesh8)
+    c.train()
+    config.training.resume = False
+    assert int(c.state.step) == steps_a
+    for pa, pc in zip(jax.tree.leaves(params_a), jax.tree.leaves(jax.tree.map(np.asarray, c.state.params))):
+        np.testing.assert_array_equal(pa, pc)

@@ -50,6 +50,9 @@ class TrainingConfig:
     model_parallel: int = 1
     half_precision: bool = False  # bfloat16 activations
     resume: bool = False  # true train-resume (reference never resumes, SURVEY §5)
+    # also checkpoint mid-epoch every N steps; resume lands on the exact
+    # next batch (deterministic shuffle + step-derived dropout keys)
+    checkpoint_every_steps: int | None = None
     # retain only the newest N step checkpoints (None = keep every epoch,
     # the reference behavior, train.py:167)
     keep_checkpoints: int | None = None

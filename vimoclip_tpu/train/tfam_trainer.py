@@ -187,15 +187,16 @@ class TFAMTrainer:
         return step
 
     # ------------------------------------------------------------------
-    def train_epoch(self, epoch: int) -> tuple[float, float]:
+    def train_epoch(self, epoch: int, skip_batches: int = 0) -> tuple[float, float]:
         self.metric.reset()
-        self.train_loader.set_epoch(epoch)
+        self.train_loader.set_epoch(epoch, start_batch=skip_batches)
         total_loss, n = 0.0, 0
+        every = self.config.training.checkpoint_every_steps
         timer = StepTimer()
         batches = prefetch_to_device(self.train_loader, sharding=self.batch_sharding)
         last_logits = last_labels = None
         for batch in progress(batches, desc=f"epoch {epoch+1}",
-                              total=len(self.train_loader)):
+                              total=len(self.train_loader) - skip_batches):
             key = self._dropout_keys("dropout", int(self.state.step))
             arrays = {k: v for k, v in batch.items() if k != "video_id"}
             self.state, loss, logits = self._train_step(self.state, arrays, key)
@@ -204,6 +205,12 @@ class TFAMTrainer:
             last_logits, last_labels = logits, batch["labels"]
             _metric_update(self.metric, logits, batch["labels"])
             timer.tick(batch["labels"].shape[0])
+            if (every and n % every == 0
+                    and skip_batches + n < len(self.train_loader)):
+                self.ckpt.save(
+                    self.state, f"step_{int(self.state.step)}",
+                    extra={"epoch": epoch, "batch_in_epoch": skip_batches + n},
+                )
         train_loss = total_loss / max(n, 1)
         train_metric = self.metric.compute()
         self.writer.add_scalar("Loss/train", train_loss, epoch)
@@ -232,17 +239,23 @@ class TFAMTrainer:
 
     def train(self) -> float:
         tcfg = self.config.training
-        start_epoch = 0
+        start_epoch, skip = 0, 0
         if tcfg.resume:
             latest = self.ckpt.latest_step_name()
             if latest:
                 self.state, extra = self.ckpt.restore(self.state, latest)
-                start_epoch = int(extra.get("epoch", -1)) + 1
-                logging.info("resumed from %s at epoch %d", latest, start_epoch)
+                if "batch_in_epoch" in extra:  # mid-epoch checkpoint
+                    start_epoch = int(extra["epoch"])
+                    skip = int(extra["batch_in_epoch"])
+                else:
+                    start_epoch = int(extra.get("epoch", -1)) + 1
+                logging.info("resumed from %s at epoch %d batch %d",
+                             latest, start_epoch, skip)
         start = time.time()
         best = self.ckpt.best_metric
         for epoch in range(start_epoch, tcfg.epochs):
-            train_loss, train_map = self.train_epoch(epoch)
+            train_loss, train_map = self.train_epoch(epoch, skip_batches=skip)
+            skip = 0
             val_loss, val_map = self.validate(epoch)
             if self.ckpt.save_if_best(self.state, val_map, extra={"epoch": epoch}):
                 logging.info("new best model at epoch %d (mAP=%.4f)", epoch, val_map)
