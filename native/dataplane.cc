@@ -348,16 +348,26 @@ struct VimoPool {
   std::deque<PoolJob> jobs;
   std::deque<PoolBlock> ready;
   std::mutex mu;
-  std::condition_variable cv_jobs;   // workers wait for jobs / space
+  // Three condition variables, one per waiter class, so every notify_one
+  // wakes a thread whose predicate can actually be true (a single shared CV
+  // here caused lost-wakeup stalls: submit's notify could land on a worker
+  // blocked for queue SPACE instead of one idle for JOBS).
+  std::condition_variable cv_jobs;   // idle workers wait for jobs
+  std::condition_variable cv_space;  // producing workers wait for queue space
   std::condition_variable cv_ready;  // consumer waits for blocks
   bool sealed = false;
+  bool destroyed = false;  // teardown in progress: wake + bail everywhere
   long active = 0;  // jobs currently being decoded
 
-  void push_block(PoolBlock&& b) {
+  // Returns false when the pool is being destroyed (block dropped; the
+  // caller should abandon its in-flight video so teardown is prompt).
+  bool push_block(PoolBlock&& b) {
     std::unique_lock<std::mutex> lk(mu);
-    cv_jobs.wait(lk, [this] { return ready.size() < max_ready; });
+    cv_space.wait(lk, [this] { return ready.size() < max_ready || destroyed; });
+    if (destroyed) return false;
     ready.push_back(std::move(b));
     cv_ready.notify_one();
+    return true;
   }
 
   void run() {
@@ -418,7 +428,7 @@ struct VimoPool {
         push_block(std::move(b));
         break;
       }
-      push_block(std::move(b));
+      if (!push_block(std::move(b))) break;  // pool destroyed mid-video
     }
     vimo_close(h);
   }
@@ -460,15 +470,20 @@ void vimo_pool_seal(void* hp) {
 }
 
 // Wait for the next block. Returns 1 (block available; metadata filled) or
-// 0 (pool sealed and fully drained — no more blocks will ever arrive).
+// 0 (pool sealed and fully drained — no more blocks will ever arrive, or the
+// pool is being destroyed). Callers must not let peek/take RACE
+// vimo_pool_destroy: destroy wakes blocked peekers via the destroyed flag,
+// but once destroy is entered no new peek/take may be issued (the Python
+// wrapper serializes consumer calls, satisfying this by construction).
 int vimo_pool_peek(void* hp, long* job_id, long* n, int* w, int* h,
                    int* final_flag, int* err) {
   auto* p = static_cast<VimoPool*>(hp);
   std::unique_lock<std::mutex> lk(p->mu);
   p->cv_ready.wait(lk, [p] {
-    return !p->ready.empty() || (p->sealed && p->jobs.empty() && p->active == 0);
+    return p->destroyed || !p->ready.empty() ||
+           (p->sealed && p->jobs.empty() && p->active == 0);
   });
-  if (p->ready.empty()) return 0;
+  if (p->destroyed || p->ready.empty()) return 0;
   const PoolBlock& b = p->ready.front();
   *job_id = b.job_id;
   *n = b.n;
@@ -490,22 +505,28 @@ long vimo_pool_take(void* hp, void* out) {
     b = std::move(p->ready.front());
     p->ready.pop_front();
   }
-  p->cv_jobs.notify_all();  // freed queue space
+  p->cv_space.notify_one();  // freed exactly one queue slot
   if (b.n > 0 && out)
     std::memcpy(out, b.data.data(), b.data.size());
   return b.n;
 }
 
+// Tear the pool down. Pending (unstarted) jobs are dropped and workers
+// abandon in-flight videos at their next block boundary, so teardown is
+// prompt even with long videos queued. Blocked consumers in peek are woken
+// and return 0, but the caller owns the higher-level contract that no NEW
+// peek/take call races destroy (see vimo_pool_peek).
 void vimo_pool_destroy(void* hp) {
   auto* p = static_cast<VimoPool*>(hp);
   {
     std::lock_guard<std::mutex> lk(p->mu);
     p->sealed = true;
+    p->destroyed = true;
     p->jobs.clear();
-    // unblock workers stuck waiting for queue space
-    p->max_ready = (size_t)1 << 40;
   }
-  p->cv_jobs.notify_all();
+  p->cv_jobs.notify_all();   // idle workers: sealed + drained -> exit
+  p->cv_space.notify_all();  // producing workers: observe destroyed -> bail
+  p->cv_ready.notify_all();  // blocked consumer: observe destroyed -> 0
   for (auto& t : p->workers) t.join();
   delete p;
 }

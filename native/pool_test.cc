@@ -51,6 +51,26 @@ int main(int argc, char** argv) {
     }
     std::printf("round %d: %ld frames, %ld finals\n", round, total, finals);
   }
+
+  // Mid-stream teardown: destroy with jobs still queued / decoding and the
+  // ready queue non-empty. Workers must abandon in-flight videos at the next
+  // block boundary and join without deadlock or races.
+  {
+    void* pool = vimo_pool_create(3, 2, 2);  // tiny blocks, tiny queue
+    for (int rep = 0; rep < 4; rep++)
+      for (int i = 1; i < argc; i++)
+        if (vimo_pool_submit(pool, rep * argc + i, argv[i]) != 0) return 6;
+    long jid = 0, n = 0;
+    int w = 0, h = 0, fin = 0, err = 0;
+    std::vector<unsigned char> buf;
+    if (vimo_pool_peek(pool, &jid, &n, &w, &h, &fin, &err)) {
+      buf.resize((size_t)n * w * h * 3);
+      if (vimo_pool_take(pool, n ? buf.data() : nullptr) != n) return 7;
+    }
+    vimo_pool_destroy(pool);  // most submitted work still outstanding
+    std::printf("mid-stream destroy OK\n");
+  }
+
   std::printf("pool_test OK\n");
   return 0;
 }

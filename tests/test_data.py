@@ -82,6 +82,23 @@ def test_streaming_writer_and_resume(tmp_path):
         assert w.has_video("v1")
 
 
+def test_streaming_finalize_preserves_explicit_zero_original_frames(tmp_path):
+    """finalize(original_frames=0) must be kept verbatim (None-only
+    fallback, matching write_video): 0 means the source header reported no
+    frames, not 'substitute the streamed row count'."""
+    path = str(tmp_path / "zero.h5")
+    with EmbeddingWriter(path, embed_dim=D) as w:
+        s = w.open_stream("v1", chunk_rows=4)
+        s.append(np.ones((3, D)))
+        s.finalize(original_frames=0)
+        s2 = w.open_stream("v2", chunk_rows=4)
+        s2.append(np.ones((2, D)))
+        s2.finalize()  # None -> streamed row count
+    with h5py.File(path, "r") as f:
+        assert f["v1"].attrs["original_frames"] == 0
+        assert f["v2"].attrs["original_frames"] == 2
+
+
 def test_async_writer(tmp_path):
     path = str(tmp_path / "async.h5")
     w = AsyncWriter(EmbeddingWriter(path, embed_dim=D))

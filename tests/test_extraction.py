@@ -476,3 +476,34 @@ def test_sharded_extraction_and_merge(corpus, params, tmp_path):
     with pytest.raises(ValueError, match="shard_index"):
         create_hdf5_dataset(output_hdf5=str(tmp_path / "bad.h5"),
                             num_shards=2, shard_index=2, **common)
+
+
+def test_merge_with_empty_shard_preserves_order(corpus, params, tmp_path):
+    """num_shards > annotation count leaves trailing shards with no videos
+    (and no video_ids dataset at all). An empty shard must still occupy its
+    round-robin slot in the merged index, or every id after the gap shifts."""
+    from vimoclip_tpu.cli.h5_merge import merge
+
+    root, _ = corpus
+    common = dict(
+        data_root=root,
+        annotation_file=os.path.join(root, "train.txt"),
+        class_file=os.path.join(root, "classes.csv"),
+        params=params, config=CFG, batch_size=4, split="train",
+    )
+    whole = str(tmp_path / "whole.h5")
+    create_hdf5_dataset(output_hdf5=whole, **common)
+    n_shards = 6  # corpus has 5 annotation lines -> shard 5 is empty
+    shard_paths = []
+    for i in range(n_shards):
+        sp = str(tmp_path / f"shard{i}.h5")
+        create_hdf5_dataset(output_hdf5=sp, num_shards=n_shards,
+                            shard_index=i, **common)
+        shard_paths.append(sp)
+    with h5py.File(shard_paths[-1], "r") as f:
+        assert "video_ids" not in f  # precondition: genuinely empty shard
+    merged = str(tmp_path / "merged_gap.h5")
+    merge(shard_paths, merged)
+    with h5py.File(whole, "r") as fw, h5py.File(merged, "r") as fm:
+        assert list(fm["video_ids"].asstr()[:]) == \
+            list(fw["video_ids"].asstr()[:])

@@ -1,6 +1,6 @@
-"""Full-cascade integration test on synthetic data — the complete reference
+"""Full-cascade integration tests on synthetic data — the complete reference
 workflow (SURVEY.md §1 L0->L6) through this framework's real public
-surfaces, in-process on the 8-device CPU mesh:
+surfaces, on the 8-device CPU mesh:
 
   1. synthetic RGB video corpus + annotations
   2. teacher extraction  -> rgb h5           (extraction.create_hdf5_dataset)
@@ -10,8 +10,18 @@ surfaces, in-process on the 8-device CPU mesh:
   6. structure check rgb vs motion h5        (compare_structures)
   7. TFAM train + eval over the two h5 files (TFAMTrainer/TFAMTester)
   8. serving predictor on a raw video with the trained params
+
+The corpus carries a REAL class signal (class k = a flickering bright block
+in quadrant k, visible to both the RGB teacher and the frame-diff student),
+so the cascade must LEARN: val micro-mAP must end comfortably above the
+chance level and above its first epoch — a sign-flipped loss, a broken
+label path, or a dead optimizer anywhere in the chain fails this (the
+closable stand-in for the reference's 77.09 AK headline,
+TFAM/train_and_eval.py:41-173). A second test drives the same cascade
+through the actual argparse CLI entry points.
 """
 
+import json
 import os
 
 import numpy as np
@@ -44,6 +54,52 @@ VCFG = ClipVisionConfig(
 )
 C = 4
 N_VIDEOS = 8
+# single-label multi-hot over C=4 -> micro-mAP chance level = positive rate
+CHANCE_MAP = 1.0 / C
+
+
+# class -> global color cast: red / green / blue / white
+_PALETTE = np.array(
+    [[200, 30, 30], [30, 200, 30], [30, 30, 200], [190, 190, 190]], np.float32
+)
+
+
+def _make_corpus(root, rng):
+    """N_VIDEOS tiny videos where class k = a flickering GLOBAL color cast
+    over per-frame noise. Global casts shift every patch embedding in a
+    class-specific direction, so the signal survives a random-init ViT's
+    CLS-token mixing (a spatial-pattern signal measurably does not); the
+    even/odd-frame gain flicker makes consecutive-frame diffs carry a
+    class-specific luma magnitude, so the motion path sees it too."""
+    names = []
+    for i in range(N_VIDEOS):
+        k = i % C
+        t = int(rng.integers(8, 13))
+        noise = rng.integers(0, 256, (t, 36, 48, 3)).astype(np.float32)
+        gain = np.where(np.arange(t) % 2 == 0, 1.0, 0.55)[:, None, None, None]
+        video = np.clip(0.25 * noise + _PALETTE[k] * gain, 0, 255).astype(np.uint8)
+        write_video(str(root / f"v{i}.mp4"), video)
+        names.append(f"v{i}.mp4")
+    (root / "train.txt").write_text(
+        "\n".join(f"{n} {i % C}" for i, n in enumerate(names))
+    )
+    (root / "classes.csv").write_text(
+        "id,name\n" + "\n".join(f"{i},cls{i}" for i in range(C))
+    )
+    return names
+
+
+def _tfam_config(rgb_h5, motion_h5, epochs=10, lr=3e-3):
+    return ExperimentConfig(
+        training=TrainingConfig(epochs=epochs, batch_size=4, num_workers=2,
+                                lr=lr, seed=49),
+        logging=LoggingConfig(),
+        data=DataConfig(num_classes=C, train_dataset_path=rgb_h5,
+                        val_dataset_path=rgb_h5, flow_dataset_path=motion_h5,
+                        length_bucket=8),
+        model=TFAMModelConfig(d_model=24, nhead=2, num_layers=1,
+                              dim_feedforward=48, dropout=0.0, mlp_dropout=0.0),
+    )
 
 
 @pytest.mark.slow
@@ -53,18 +109,7 @@ def test_full_cascade(tmp_path, mesh8):
     root.mkdir()
 
     # 1. corpus: each class gets a characteristic brightness/motion pattern
-    names = []
-    for i in range(N_VIDEOS):
-        t = int(rng.integers(8, 13))
-        base = rng.integers(0, 256, (t, 36, 48, 3), dtype=np.uint8)
-        write_video(str(root / f"v{i}.mp4"), base)
-        names.append(f"v{i}.mp4")
-    (root / "train.txt").write_text(
-        "\n".join(f"{n} {i % C}" for i, n in enumerate(names))
-    )
-    (root / "classes.csv").write_text(
-        "id,name\n" + "\n".join(f"{i},cls{i}" for i in range(C))
-    )
+    names = _make_corpus(root, rng)
 
     # 2. teacher extraction
     teacher_params = ClipVisionEncoder(VCFG).init(
@@ -111,26 +156,23 @@ def test_full_cascade(tmp_path, mesh8):
     assert a["all_groups_same_structure"] and b["all_groups_same_structure"]
     assert a["num_groups"] == b["num_groups"] == N_VIDEOS
 
-    # 7. TFAM train + eval over the produced files
-    config = ExperimentConfig(
-        training=TrainingConfig(epochs=2, batch_size=4, num_workers=2, lr=1e-3,
-                                seed=49),
-        logging=LoggingConfig(),
-        data=DataConfig(num_classes=C, train_dataset_path=rgb_h5,
-                        val_dataset_path=rgb_h5, flow_dataset_path=motion_h5,
-                        length_bucket=8),
-        model=TFAMModelConfig(d_model=24, nhead=2, num_layers=1,
-                              dim_feedforward=48, dropout=0.0, mlp_dropout=0.0),
-    )
+    # 7. TFAM train + eval over the produced files — the cascade must LEARN
+    config = _tfam_config(rgb_h5, motion_h5)
     trainer = TFAMTrainer(
         config, log_dir=str(tmp_path / "logs"),
         checkpoint_dir=str(tmp_path / "tfam_ckpt"), mesh=mesh8,
     )
     trainer.train()
+    maps = [h["val_map"] for h in trainer.history]
+    assert max(maps) > maps[0], f"val mAP never rose: {maps}"
     tester = TFAMTester(trainer, results_dir=str(tmp_path / "results"))
     tester.load_best()
     results = tester.evaluate(save_predictions=True)
-    assert 0.0 <= results["metrics"]["mAP"] <= 1.0
+    final_map = results["metrics"]["mAP"]
+    assert final_map >= 3 * CHANCE_MAP, (
+        f"cascade failed to learn: best-checkpoint val mAP {final_map:.3f} "
+        f"vs chance {CHANCE_MAP} (trajectory {maps})"
+    )
     assert len(results["videos"]) == N_VIDEOS
 
     # 8. serving: raw video -> prediction using ALL trained params
@@ -144,3 +186,120 @@ def test_full_cascade(tmp_path, mesh8):
     pred = predictor.predict(str(root / "v0.mp4"), top_k=2)
     assert len(pred.top_classes) == 2
     assert np.all(np.isfinite(pred.probabilities))
+
+
+@pytest.mark.slow
+def test_full_cascade_through_clis(tmp_path, monkeypatch, mesh8):
+    """The same L0->L6 cascade, driven end to end through the actual CLI
+    entry points (the surfaces a reference user calls): extract-embeddings
+    -> generate-motion -> train-student -> export-motion-embeddings ->
+    h5-structure-checker -> tfam-train-eval, asserting the final results
+    JSON shows above-chance mAP."""
+    import torch
+    from transformers import CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from vimoclip_tpu.cli.export_motion_embeddings import main as export_main
+    from vimoclip_tpu.cli.extract_embeddings import main as extract_main
+    from vimoclip_tpu.cli.generate_motion import main as motion_main
+    from vimoclip_tpu.cli.h5_structure_checker import main as checker_main
+    from vimoclip_tpu.cli.tfam_train_eval import main as tfam_main
+
+    monkeypatch.chdir(tmp_path)  # run dirs + results land in tmp
+    rng = np.random.default_rng(1)
+    root = tmp_path / "videos"
+    root.mkdir()
+    names = _make_corpus(root, rng)
+    (root / "list.txt").write_text("\n".join(names))
+
+    # tiny HF CLIP checkpoint on disk (zero-egress: random-init from config)
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(HFConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, image_size=32, patch_size=8,
+        projection_dim=24))
+    clip_ckpt = str(tmp_path / "clip.pt")
+    torch.save(hf.state_dict(), clip_ckpt)
+
+    common = ["--data-root", str(root),
+              "--annotation-file", str(root / "train.txt"),
+              "--class-file", str(root / "classes.csv"),
+              "--clip-weights", clip_ckpt, "--batch-size", "16", "--float32"]
+    rgb_h5 = str(tmp_path / "rgb_train.h5")
+    extract_main(["--output", rgb_h5, "--split", "train"] + common)
+    rgb_val_h5 = str(tmp_path / "rgb_val.h5")
+    extract_main(["--output", rgb_val_h5, "--split", "val"] + common)
+
+    diff_dir = str(tmp_path / "diffs")
+    motion_main(["--list-file", str(root / "list.txt"),
+                 "--input-dir", str(root), "--output-dir", diff_dir,
+                 "--kind", "frame_diff"])
+
+    ckpt_dir = str(tmp_path / "student_ckpt")
+    from vimoclip_tpu.cli.train_student import main as train_main
+    train_main([
+        "--train-embeddings", rgb_h5, "--val-embeddings", rgb_h5,
+        "--motion-videos-dir", diff_dir,
+        "--checkpoint-dir", ckpt_dir, "--log-dir", str(tmp_path / "slogs"),
+        "--clip-weights", clip_ckpt,
+        "--epochs", "1", "--batch-size", "4", "--num-workers", "2",
+        "--sequence-length", "5", "--num-classes", str(C), "--float32",
+        "--data-parallel", "2", "--model-parallel", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+
+    motion_h5 = str(tmp_path / "motion.h5")
+    export_main([
+        "--videos-dir", diff_dir, "--output", motion_h5,
+        "--checkpoint-dir", ckpt_dir, "--clip-weights", clip_ckpt,
+        "--chunk-size", "8", "--float32", "--num-classes", str(C),
+    ])
+
+    # structure checker: the two teacher extractions share one schema
+    assert checker_main([rgb_h5, rgb_val_h5]) == 0
+
+    cfg = tmp_path / "config_cascade.yaml"
+    cfg.write_text(f"""
+training:
+  mode: both
+  seed: 49
+  lr: 3e-3
+  epochs: 10
+  batch_size: 4
+  num_workers: 2
+  data_parallel: 2
+  model_parallel: 1
+logging:
+  log_dir: logs
+  checkpoint_dir: checkpoints
+data:
+  num_classes: {C}
+  class_names_dir: {root / 'classes.csv'}
+  train_dataset_path: {rgb_h5}
+  val_dataset_path: {rgb_h5}
+  flow_dataset_path: {motion_h5}
+  length_bucket: 8
+model:
+  d_model: 24
+  nhead: 2
+  num_layers: 1
+  dim_feedforward: 48
+  dropout: 0.0
+  mlp_dropout: 0.0
+""")
+    tfam_main(["--config", str(cfg), "--run-name", "cascade"])
+
+    results_dir = tmp_path / "results"
+    files = sorted(results_dir.glob("results_*.json"))
+    assert files, "tfam_train_eval wrote no results JSON"
+    with open(files[-1]) as f:
+        results = json.load(f)
+    final_map = results["metrics"]["mAP"]
+    assert final_map >= 3 * CHANCE_MAP, (
+        f"CLI cascade failed to learn: mAP {final_map:.3f} vs chance "
+        f"{CHANCE_MAP}"
+    )
+    # per-video top-5 records carry resolved class names from classes.csv
+    assert results["videos"][0]["predictions"]
+    some_name = next(iter(results["videos"][0]["predictions"].values()))
+    assert some_name["class_name"].startswith("cls")

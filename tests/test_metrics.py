@@ -75,6 +75,60 @@ def test_topk_accuracy():
     assert acc2.compute() == pytest.approx(1.0)
 
 
+@pytest.mark.parametrize("k", [1, 2])
+def test_topk_accuracy_matches_sklearn_oracle(k):
+    """Oracle parity for the metric substituted for the reference's broken
+    ``Accuracy(num_classes=12)`` (docs/QUIRKS.md #23): micro top-k accuracy,
+    the semantics of ``torchmetrics.Accuracy(task="multiclass")`` /
+    ``sklearn.top_k_accuracy_score``."""
+    from sklearn.metrics import top_k_accuracy_score
+
+    rng = np.random.default_rng(5)
+    logits = rng.normal(size=(96, 12)).astype(np.float32)  # ties measure-zero
+    labels = rng.integers(0, 12, size=96)
+    acc = TopKAccuracy(top_k=k)
+    for i in range(0, 96, 32):  # streamed, integer labels
+        acc.update(logits[i:i + 32], labels[i:i + 32])
+    ref = top_k_accuracy_score(labels, logits, k=k, labels=np.arange(12))
+    assert acc.compute() == pytest.approx(ref, abs=1e-12)
+    # one-hot labels (how the reference trainer feeds its metric,
+    # train_and_eval_frame_diff_MN.py:88) give the identical result
+    acc_oh = TopKAccuracy(top_k=k)
+    acc_oh.update(logits, np.eye(12)[labels])
+    assert acc_oh.compute() == pytest.approx(ref, abs=1e-12)
+
+
+def test_topk_accuracy_matches_torchmetrics():
+    """Direct torchmetrics oracle — the metric the reference INTENDED
+    (its pinned 1.7.1 ``Accuracy(num_classes=12)`` without ``task=`` raises
+    at construction; QUIRKS.md #23). Skips where torchmetrics isn't baked in
+    (this image); runs wherever it is."""
+    torchmetrics = pytest.importorskip("torchmetrics")
+    import torch
+
+    rng = np.random.default_rng(6)
+    logits = rng.normal(size=(64, 12)).astype(np.float32)
+    labels = rng.integers(0, 12, size=64)
+    ref_metric = torchmetrics.Accuracy(task="multiclass", num_classes=12)
+    ref = float(ref_metric(torch.from_numpy(logits), torch.from_numpy(labels)))
+    acc = TopKAccuracy(top_k=1)
+    acc.update(logits, labels)
+    assert acc.compute() == pytest.approx(ref, abs=1e-6)
+
+
+def test_device_metric_capacity_overflow_fails_loudly():
+    """The device-resident accumulator holds N x C logits in HBM; past its
+    row capacity it must raise with guidance, not OOM silently mid-epoch."""
+    from vimoclip_tpu.metrics import DeviceMultilabelAveragePrecision
+
+    dev = DeviceMultilabelAveragePrecision(num_labels=4, capacity=10)
+    dev.update(jnp.zeros((6, 4)), jnp.zeros((6, 4)))
+    with pytest.raises(RuntimeError, match="capacity"):
+        dev.update(jnp.zeros((6, 4)), jnp.zeros((6, 4)))
+    dev.reset()  # reset clears the row counter too
+    dev.update(jnp.zeros((10, 4)), jnp.zeros((10, 4)))
+
+
 def test_device_metric_matches_host_accumulator():
     """DeviceMultilabelAveragePrecision (on-device accumulation, scalar-only
     fetch) must equal the host metric on real-valued logits."""

@@ -40,9 +40,16 @@ def merge(shard_paths: list[str], output: str) -> dict[str, int]:
                 if i == 0:
                     for k, v in f.attrs.items():
                         out.attrs[k] = v
+                # Every shard occupies a round-robin slot, even one with no
+                # video_ids dataset (num_shards > remaining annotations makes
+                # EmbeddingWriter skip the dataset for an empty id list) —
+                # otherwise _interleave's stride shifts and the merged index
+                # no longer reconstructs the original annotation order.
+                per_shard_ids.append(
+                    list(f["video_ids"].asstr()[:]) if "video_ids" in f else []
+                )
                 for key in f.keys():
                     if key == "video_ids":
-                        per_shard_ids.append(list(f["video_ids"].asstr()[:]))
                         continue
                     if isinstance(f[key], h5py.Group) and key in out:
                         # nested layout (e.g. trimmed_videos/): merge children

@@ -223,7 +223,11 @@ class _StreamingVideo:
             self._group.create_dataset("labels", data=np.asarray(labels, np.float32))
         t = self._ds.shape[0]
         self._group.attrs["total_frames"] = t
-        self._group.attrs["original_frames"] = original_frames or t
+        # None-only fallback, matching write_video (an explicit 0 — e.g. a
+        # source whose header reported no frames — must be preserved).
+        self._group.attrs["original_frames"] = (
+            t if original_frames is None else original_frames
+        )
 
 
 class AsyncWriter:

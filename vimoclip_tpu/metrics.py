@@ -133,14 +133,25 @@ class DeviceMultilabelAveragePrecision:
     granularity (tests/test_metrics.py pins both properties). Real float32
     logits make ties measure-zero, hence opt-in via
     ``TrainingConfig.device_metric``.
+
+    Memory bound: the accumulator holds every updated row in HBM —
+    ``N x num_labels`` float32 for scores plus the same for targets
+    (AK val: 6,094 x 140 ~= 7 MB, negligible). A corpus-scale eval would
+    grow without limit, so updates past ``capacity`` rows raise loudly
+    instead of OOMing silently mid-epoch; raise ``capacity`` explicitly
+    (and budget 8 * capacity * num_labels bytes of HBM) for bigger evals,
+    or use the host-side :class:`MultilabelAveragePrecision`.
     """
 
     device_resident = True  # trainers feed raw device arrays, no host fetch
 
-    def __init__(self, num_labels: int, average: str = "micro"):
+    def __init__(
+        self, num_labels: int, average: str = "micro", capacity: int = 1_000_000
+    ):
         if average != "micro":
             raise NotImplementedError("reference uses micro averaging only")
         self.num_labels = num_labels
+        self.capacity = capacity
         import jax
 
         self._ap = jax.jit(average_precision_jax)
@@ -149,12 +160,23 @@ class DeviceMultilabelAveragePrecision:
     def reset(self) -> None:
         self._scores = []
         self._targets = []
+        self._rows = 0
 
     def update(self, logits, targets) -> None:
         if logits.shape[-1] != self.num_labels:
             raise ValueError(
                 f"expected {self.num_labels} labels, got {logits.shape[-1]}"
             )
+        rows = int(np.prod(logits.shape[:-1])) if logits.ndim > 1 else 1
+        if self._rows + rows > self.capacity:
+            raise RuntimeError(
+                f"DeviceMultilabelAveragePrecision would exceed its "
+                f"{self.capacity}-row device buffer ({self._rows} + {rows} "
+                f"rows x {self.num_labels} labels); raise `capacity` "
+                f"(costs ~8*capacity*num_labels bytes HBM) or switch to the "
+                f"host-side MultilabelAveragePrecision"
+            )
+        self._rows += rows
         self._scores.append(jnp.reshape(logits, (-1, self.num_labels)))
         self._targets.append(jnp.reshape(targets, (-1, self.num_labels)))
 

@@ -149,26 +149,26 @@ class StudentTrainer:
             c_loss = losses.classification_loss(
                 logits, batch["labels"], self.class_pos_weight
             )
-        return d_loss, c_loss
+        return d_loss, c_loss, logits
 
     def _build_train_step(self):
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: dict):
             def loss_fn(params):
-                d_loss, c_loss = self._losses(params, batch)
-                return d_loss + c_loss, (d_loss, c_loss)
+                d_loss, c_loss, logits = self._losses(params, batch)
+                return d_loss + c_loss, (d_loss, c_loss, logits)
 
-            (total, (d_loss, c_loss)), grads = jax.value_and_grad(
+            (total, (d_loss, c_loss, logits)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            return state.apply_gradients(grads), total, d_loss, c_loss
+            return state.apply_gradients(grads), total, d_loss, c_loss, logits
 
         return step
 
     def _build_eval_step(self):
         @jax.jit
         def step(params, batch: dict):
-            d_loss, c_loss = self._losses(params, batch)
+            d_loss, c_loss, _ = self._losses(params, batch)
             return d_loss + c_loss, d_loss, c_loss
 
         return step
@@ -183,11 +183,16 @@ class StudentTrainer:
         n = 0
         timer = StepTimer()
         batches = self._device_batches(self.train_loader)
+        last_logits = last_labels = None
         for batch in progress(batches, desc=f"epoch {epoch+1}",
                               total=len(self.train_loader) - skip_batches):
-            self.state, total, d_loss, c_loss = self._train_step(self.state, batch)
+            self.state, total, d_loss, c_loss, logits = self._train_step(
+                self.state, batch
+            )
             sums += [float(total), float(d_loss), float(c_loss)]
             n += 1
+            if self.writer:
+                last_logits, last_labels = logits, batch["labels"]
             timer.tick(batch["labels"].shape[0])
             if (self.checkpoint_every_steps
                     and n % self.checkpoint_every_steps == 0
@@ -202,6 +207,14 @@ class StudentTrainer:
                 self.writer.add_scalar("train/total_loss", float(total), step)
                 self.writer.add_scalar("train/distill_loss", float(d_loss), step)
                 self.writer.add_scalar("train/class_loss", float(c_loss), step)
+        if self.writer and last_logits is not None:
+            # last-batch logits/labels dumps, text AND histogram
+            # (reference train.py:146-153)
+            logits_np, labels_np = np.asarray(last_logits), np.asarray(last_labels)
+            self.writer.add_text("Logits/LastBatch", str(logits_np), epoch)
+            self.writer.add_text("Labels/LastBatch", str(labels_np), epoch)
+            self.writer.add_histogram("Logits/LastBatch", logits_np, epoch)
+            self.writer.add_histogram("Labels/LastBatch", labels_np, epoch)
         out = dict(zip(("total", "distill", "class"), sums / max(n, 1)))
         out["segments_per_sec"] = timer.examples_per_sec
         return out

@@ -129,6 +129,10 @@ class TFAMTrainer:
         self.state = self._init_state()
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        # per-epoch metric trajectory, appended by train() — the programmatic
+        # equivalent of the reference's per-epoch log lines
+        # (train_and_eval.py:151-162)
+        self.history: list[dict] = []
 
     # ------------------------------------------------------------------
     def _init_state(self) -> TrainState:
@@ -216,9 +220,12 @@ class TFAMTrainer:
         self.writer.add_scalar("Loss/train", train_loss, epoch)
         self.writer.add_scalar("mAP/train", train_metric, epoch)
         self.writer.add_scalar("perf/train_clips_per_sec", timer.examples_per_sec, epoch)
-        if last_logits is not None:  # final-batch dumps, reference train.py:148-153
-            self.writer.add_histogram("train/final_batch_logits", np.asarray(last_logits), epoch)
-            self.writer.add_histogram("train/final_batch_labels", np.asarray(last_labels), epoch)
+        if last_logits is not None:  # final-batch dumps, reference train.py:146-153
+            logits_np, labels_np = np.asarray(last_logits), np.asarray(last_labels)
+            self.writer.add_histogram("train/final_batch_logits", logits_np, epoch)
+            self.writer.add_histogram("train/final_batch_labels", labels_np, epoch)
+            self.writer.add_text("train/final_batch_logits", str(logits_np), epoch)
+            self.writer.add_text("train/final_batch_labels", str(labels_np), epoch)
         return train_loss, train_metric
 
     def validate(self, epoch: int | None = None) -> tuple[float, float]:
@@ -262,6 +269,10 @@ class TFAMTrainer:
                 best = val_map
             self.ckpt.save(self.state, f"step_{int(self.state.step)}", extra={"epoch": epoch})
             lr = float(self._schedule(int(self.state.step)))
+            self.history.append({
+                "epoch": epoch, "train_loss": train_loss, "train_map": train_map,
+                "val_loss": val_loss, "val_map": val_map, "lr": lr,
+            })
             self.writer.add_scalar("Learning Rate", lr, epoch)
             logging.info(
                 "Epoch %d/%d | Train Loss: %.4f | Train mAP: %.4f | "

@@ -44,11 +44,16 @@ class SummaryWriter:
             self._writer.add_scalar(tag, float(value), int(step))
 
     def add_histogram(self, tag: str, values, step: int) -> None:
-        """Logits/label histograms, reference train.py:148-153."""
+        """Logits/label histograms, reference train.py:152-153."""
         if self._writer is not None:
             import numpy as np
 
             self._writer.add_histogram(tag, np.asarray(values), int(step))
+
+    def add_text(self, tag: str, text: str, step: int) -> None:
+        """Final-batch logits/labels text dumps, reference train.py:147-150."""
+        if self._writer is not None:
+            self._writer.add_text(tag, text, int(step))
 
     def close(self) -> None:
         if self._writer is not None:
