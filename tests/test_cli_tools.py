@@ -92,6 +92,42 @@ def test_benchmark_motion_section(tmp_path):
     assert "nonzero_frac" in out["output_stats"]
 
 
+def test_benchmark_cli_raft_arm(tmp_path):
+    """--flow-backend raft --flow-weights <stub> through the full CLI main:
+    the JSON report grows a 'raft' section with fps/RSS/output stats beside
+    frame_diff — the comparison surface of the reference's
+    video_benchmark_raft.py:169-281."""
+    import torch
+
+    from tests.test_motion_raft import TinyFlowNet
+    from vimoclip_tpu.cli.benchmark import main
+    from vimoclip_tpu.data.video_reader import write_video
+
+    rng = np.random.default_rng(3)
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    for i in range(2):
+        write_video(str(vdir / f"v{i}.mp4"),
+                    rng.integers(0, 256, (6, 32, 48, 3), dtype=np.uint8))
+    weights = str(tmp_path / "tiny_raft.pt")
+    torch.save(TinyFlowNet(), weights)
+    out = str(tmp_path / "report.json")
+    main(["--videos-dir", str(vdir), "--num-videos", "2", "--skip-tpu",
+          "--flow-backend", "raft", "--flow-weights", weights,
+          "--output", out])
+    with open(out) as f:
+        report = json.load(f)
+    for section in ("frame_diff", "raft"):
+        assert report[section]["videos"] == 2
+        assert report[section]["frames"] == 10  # 2 x (6-1)
+        assert report[section]["fps"] > 0
+        assert report[section]["peak_rss_mb"] > 0
+        assert "nonzero_frac" in report[section]["output_stats"]
+    # no CUDA on this host -> per-backend device peak reported as null,
+    # key present (video_benchmark_raft.py:269-279 parity surface)
+    assert "peak_device_mb" in report["raft"]
+
+
 def test_memory_monitor_samples():
     import time
 

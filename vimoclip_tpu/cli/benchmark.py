@@ -1,8 +1,10 @@
 """Motion-modality + pipeline benchmark — the surface of the reference's
 ``utils/video_benchmark_raft.py`` (SURVEY.md #23): compares motion
-generators (frame-diff vs optical flow) on N sample videos with wall time,
-fps, host-RSS peak, and output statistics, plus TPU-side throughput of the
-extraction forward and the TFAM fusion step. JSON report + console table."""
+generators (frame-diff vs Farnebäck vs RAFT/ptlflow via ``--flow-backend
+raft --flow-weights ...``) on N sample videos with wall time, fps, host-RSS
+peak, per-backend peak accelerator memory (video_benchmark_raft.py:269-279),
+and output statistics, plus TPU-side throughput of the extraction forward
+and the TFAM fusion step. JSON report + console table."""
 
 from __future__ import annotations
 
@@ -18,11 +20,43 @@ from vimoclip_tpu.utils.logging import setup_logging
 from vimoclip_tpu.utils.profiling import MemoryMonitor, device_memory_stats
 
 
-def _bench_motion(videos: list[str], kind: str, tmp_dir: str) -> dict:
-    from vimoclip_tpu.data.video_reader import read_video
-    from vimoclip_tpu.motion import generate_frame_diff_video, generate_optical_flow_video
+def _torch_cuda_peak_tracker():
+    """(reset_fn, peak_mb_fn) for torch CUDA backends — the reference
+    reports ``torch.cuda.max_memory_allocated`` per flow backend
+    (video_benchmark_raft.py:269-279). Null-safe when CUDA is absent
+    (ptlflow on CPU, or torch not importable)."""
+    try:
+        import torch
 
-    gen = generate_frame_diff_video if kind == "frame_diff" else generate_optical_flow_video
+        if torch.cuda.is_available():
+            return torch.cuda.reset_peak_memory_stats, (
+                lambda: torch.cuda.max_memory_allocated() / 1e6
+            )
+    except Exception:
+        pass
+    return (lambda: None), (lambda: None)
+
+
+def _bench_motion(videos: list[str], kind: str, tmp_dir: str, flow_fn=None) -> dict:
+    """One benchmark arm. ``kind``: 'frame_diff' | 'flow' (Farnebäck) |
+    'raft' (any ptlflow-interface backend passed as ``flow_fn``)."""
+    import functools
+
+    from vimoclip_tpu.data.video_reader import read_video
+    from vimoclip_tpu.motion import (
+        farneback_flow,
+        generate_frame_diff_video,
+        generate_optical_flow_video,
+    )
+
+    if kind == "frame_diff":
+        gen = generate_frame_diff_video
+    else:
+        gen = functools.partial(
+            generate_optical_flow_video, flow_fn=flow_fn or farneback_flow
+        )
+    reset_peak, peak_mb = _torch_cuda_peak_tracker()
+    reset_peak()
     frames_total, t_total, stats = 0, 0.0, []
     with MemoryMonitor() as mem:
         for i, src in enumerate(videos):
@@ -34,6 +68,7 @@ def _bench_motion(videos: list[str], kind: str, tmp_dir: str) -> dict:
             out = read_video(dst, max_frames=16).astype(np.float32)
             stats.append({"mean": float(out.mean()), "std": float(out.std()),
                           "nonzero_frac": float((out > 8).mean())})
+    device_peak = peak_mb()
     return {
         "kind": kind,
         "videos": len(videos),
@@ -41,6 +76,7 @@ def _bench_motion(videos: list[str], kind: str, tmp_dir: str) -> dict:
         "wall_s": round(t_total, 3),
         "fps": round(frames_total / t_total, 1) if t_total else None,
         "peak_rss_mb": round(mem.peak_mb, 1),
+        "peak_device_mb": round(device_peak, 1) if device_peak else None,
         "output_stats": {
             k: round(float(np.mean([s[k] for s in stats])), 4) for k in stats[0]
         } if stats else {},
@@ -128,6 +164,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--skip-tpu", action="store_true")
     p.add_argument("--skip-flow", action="store_true",
                    help="skip the (slow) Farneback benchmark")
+    p.add_argument("--flow-backend", choices=["farneback", "raft"],
+                   default="farneback",
+                   help="optical-flow arm: in-repo Farneback, or any "
+                        "ptlflow-interface model (the reference's "
+                        "video_benchmark_raft.py benches RAFT)")
+    p.add_argument("--flow-weights", default=None,
+                   help="raft backend: ptlflow ckpt name/path, or a "
+                        "serialized torch module file when ptlflow is absent")
+    p.add_argument("--flow-model", default="raft",
+                   help="ptlflow architecture name (raft, gma, ...)")
+    p.add_argument("--flow-device", default="cpu",
+                   help="torch device for the learned flow backend")
     p.add_argument("--output", default="benchmark_results.json")
     args = p.parse_args(argv)
 
@@ -144,7 +192,16 @@ def main(argv: list[str] | None = None) -> None:
         tmp = tempfile.mkdtemp(prefix="vimo_bench_")
         report["frame_diff"] = _bench_motion(videos, "frame_diff", tmp)
         if not args.skip_flow:
-            report["optical_flow"] = _bench_motion(videos, "flow", tmp)
+            if args.flow_backend == "raft":
+                from vimoclip_tpu.motion import load_flow_backend
+
+                flow_fn = load_flow_backend(
+                    "raft", weights=args.flow_weights,
+                    model_name=args.flow_model, device=args.flow_device,
+                )
+                report["raft"] = _bench_motion(videos, "raft", tmp, flow_fn)
+            else:
+                report["optical_flow"] = _bench_motion(videos, "flow", tmp)
 
     if not args.skip_tpu:
         report["tpu"] = _bench_tpu(args.batch, args.iters)
