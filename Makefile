@@ -1,7 +1,12 @@
-.PHONY: test native bench graft-check clean
+.PHONY: test tpu-test native bench graft-check clean
 
 test:
 	python -m pytest tests/ -q
+
+# hardware-only suite: compiled Mosaic kernels + on-chip PRNG statistics
+# (skipped automatically by `make test`, which pins jax to CPU)
+tpu-test:
+	VIMO_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -q
 
 native:
 	$(MAKE) -C native

@@ -156,9 +156,13 @@ def bench_tfam_train(jax, jnp):
 
     b, t, d, layers, ff, classes = 8, 512, 512, 4, 2048, 140
     iters = 8
+    # attention_impl="auto" = the shipped single-chip default: on TPU this
+    # resolves to the Pallas kernel with FUSED on-chip-PRNG attention
+    # dropout (measured 9.65 ms/step vs 10.92 XLA at this recipe,
+    # docs/PERF.md crossover table).
     model = TFAM(
         config=TFAMModelConfig(d_model=d, nhead=8, num_layers=layers,
-                               dim_feedforward=ff),
+                               dim_feedforward=ff, attention_impl="auto"),
         num_classes=classes, dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
@@ -204,6 +208,8 @@ def bench_tfam_train(jax, jnp):
         "clips_per_sec": b * iters / best,
         "ms_per_step": ms,
         "batch": b, "seq_len": t,
+        "attention_impl": "auto(flash, fused dropout)"
+        if jax.default_backend() == "tpu" else "auto(xla)",
         "tflops_per_sec": tflops,
         "mfu_vs_measured_ceiling": tflops / MEASURED_CEILING_TFLOPS,
     }
@@ -216,7 +222,9 @@ def bench_student_train(jax, jnp):
     from vimoclip_tpu.models.clip_vit import ClipVisionConfig
     from vimoclip_tpu.models.student import StudentModel
 
-    b, t, h, w, classes = 2, 29, 360, 640, 140
+    # b=8 is the measured TPU operating point (docs/PERF.md batch-scaling
+    # curve: b2 56% MFU, b4 67%, b8 73%); the trainers default to it too.
+    b, t, h, w, classes = 8, 29, 360, 640, 140
     iters = 4
     cfg = ClipVisionConfig.vit_b_32()  # reference student backbone
     model = StudentModel(vision_config=cfg, num_classes=classes,

@@ -4,20 +4,29 @@ the strategy SURVEY.md §4 prescribes for the rebuild."""
 
 import os
 
-# Must run before jax initializes its backends. The image pins
-# jax_platforms to the tunneled TPU ("axon") at the config level, so setting
-# the env var alone is not enough — update the config after import.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# VIMO_TPU_TESTS=1 leaves the platform alone (real chip) so the
+# hardware-only suite (tests/test_pallas_tpu.py, via `make tpu-test`) can
+# run compiled Mosaic kernels; everything backend-gated the other way
+# (mesh8 users) skips there.
+_ON_TPU = os.environ.get("VIMO_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    # Must run before jax initializes its backends. The image pins
+    # jax_platforms to the tunneled TPU ("axon") at the config level, so
+    # setting the env var alone is not enough — update the config after
+    # import.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

@@ -101,6 +101,84 @@ def test_flash_attention_gradients_match_xla():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_flash_attention_multiblock_matches_xla():
+    """Online-softmax K-blocking: forcing several q AND k tiles must be
+    exact vs the single-shot XLA softmax (the lifted Tk-VMEM-cap path)."""
+    q, k, v = _qkv(10, b=2, h=2, tq=300, tk=260, d=32)
+    b, _, tk, _ = k.shape
+    rng = np.random.default_rng(11)
+    lens = rng.integers(1, tk + 1, size=b)
+    ignore = jnp.asarray(np.arange(tk)[None, :] >= lens[:, None])
+    ref = dot_product_attention(q, k, v, key_padding_mask=ignore)
+    got = flash_attention(q, k, v, key_padding_mask=ignore,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_multiblock_gradients():
+    """Backward (dq sweep + dkv sweep) across several q/k tiles matches XLA
+    autodiff."""
+    q, k, v = _qkv(12, b=1, h=2, tq=200, tk=150, d=32)
+    ignore = jnp.asarray(np.arange(150)[None, :] >= 120)
+
+    def loss_xla(q, k, v):
+        o = dot_product_attention(q, k, v, key_padding_mask=ignore)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, key_padding_mask=ignore,
+                            block_q=128, block_k=128, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_dropout_plumbing_interpret():
+    """In-kernel dropout fwd+bwd plumbing on CPU: the interpreter stubs
+    prng_random_bits to zeros, which the kernel's `bits < threshold` keep
+    test maps to keep-EVERYTHING — so output must equal attention scaled by
+    1/(1-p), and gradients must match that same fixed-mask reference
+    (exercising the mask/scale paths of all three kernels; real bit
+    randomness is validated on hardware, tests/test_pallas_tpu.py)."""
+    p_drop = 0.25
+    q, k, v = _qkv(13, b=1, h=2, tq=64, tk=80, d=32)
+    ignore = jnp.asarray(np.arange(80)[None, :] >= 70)
+    seed = jnp.array([123], jnp.int32)
+
+    def fixed_mask_ref(q, k, v):
+        return dot_product_attention(q, k, v, key_padding_mask=ignore) / (
+            1.0 - p_drop
+        )
+
+    def flash_drop(q, k, v):
+        return flash_attention(q, k, v, key_padding_mask=ignore,
+                               dropout_rate=p_drop, dropout_seed=seed,
+                               interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(flash_drop(q, k, v)), np.asarray(fixed_mask_ref(q, k, v)),
+        rtol=2e-5, atol=2e-5,
+    )
+    g_ref = jax.grad(lambda *a: jnp.sum(jnp.sin(fixed_mask_ref(*a))),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(lambda *a: jnp.sum(jnp.sin(flash_drop(*a))),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_dropout_requires_seed():
+    q, k, v = _qkv(14, b=1, h=1, tq=16, tk=16, d=16)
+    with pytest.raises(ValueError, match="dropout_seed"):
+        flash_attention(q, k, v, dropout_rate=0.1, interpret=True)
+
+
 def test_flash_attention_grad_zero_at_masked_keys():
     q, k, v = _qkv(9, b=1, h=2, tq=16, tk=24, d=16)
     ignore = jnp.asarray(np.arange(24)[None, :] >= 20)
@@ -114,3 +192,23 @@ def test_flash_attention_grad_zero_at_masked_keys():
     np.testing.assert_allclose(np.asarray(dk)[:, :, 20:, :], 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dv)[:, :, 20:, :], 0.0, atol=1e-6)
     assert float(jnp.abs(dk[:, :, :20]).max()) > 0
+
+
+def test_mha_auto_resolves_to_xla_off_tpu():
+    """implementation='auto' off the TPU backend must bit-match the XLA
+    path at any shape (auto never picks interpreter-mode flash)."""
+    import flax.linen as nn  # noqa: F401
+    from vimoclip_tpu.ops.attention import MultiHeadAttention
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 300, 64)), jnp.float32)
+    kw = dict(embed_dim=64, num_heads=4, dropout=0.1)
+    m_auto = MultiHeadAttention(**kw, implementation="auto")
+    m_xla = MultiHeadAttention(**kw, implementation="xla")
+    params = m_xla.init(jax.random.key(0), x)["params"]
+    key = jax.random.key(3)
+    out_auto = m_auto.apply({"params": params}, x, deterministic=False,
+                            rngs={"dropout": key})
+    out_xla = m_xla.apply({"params": params}, x, deterministic=False,
+                          rngs={"dropout": key})
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_xla))

@@ -15,7 +15,10 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="Train the MoCLIP motion student")
     # reference defaults (train.py:178-216)
     p.add_argument("--epochs", type=int, default=10)
-    p.add_argument("--batch-size", type=int, default=2)
+    # TPU operating point from the measured scaling curve (docs/PERF.md:
+    # b2 56% MFU -> b8 73% MFU); the reference's default is 32
+    # (train.py:183) and remains reachable here.
+    p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--grad-clip", type=float, default=None)

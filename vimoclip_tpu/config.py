@@ -99,9 +99,15 @@ class TFAMModelConfig:
     mlp_dropout: float = 0.1
     activation: str = "relu"  # FFN activation (reference AttentionLayer default)
     masked_pooling: bool = False  # reference pools over pads (AMO_CLIP.py:170)
-    # Pallas block-Q attention kernel for eval/serving (and training when
-    # dropout=0); "xla" keeps reference numerics with attention dropout.
-    attention_impl: str = "xla"
+    # Attention implementation: "auto" picks the measured winner per shape on
+    # TPU — the Pallas online-softmax kernel with FUSED on-chip-PRNG dropout
+    # for training steps (t>=256) and long sequences (t>=4096), XLA elsewhere
+    # (docs/PERF.md crossover table). "xla" pins reference numerics
+    # everywhere; "flash" forces the kernel. Like dropout_rng_impl, only the
+    # dropout BIT STREAM differs between impls — weights/logits numerics are
+    # the same attention math. TFAMTrainer downgrades auto->xla on multi-
+    # device meshes (Pallas calls carry no GSPMD partitioning rule).
+    attention_impl: str = "auto"
 
 
 @dataclasses.dataclass

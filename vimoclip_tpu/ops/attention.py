@@ -82,10 +82,25 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    # "xla" (reference numerics incl. attention dropout) or "flash" (Pallas
-    # block-Q kernel; used when no attention dropout applies — eval/serving,
-    # or dropout=0.0 configs).
+    # Attention implementation:
+    # - "xla": reference numerics; attention dropout drawn host-style
+    #   (jax.random.bernoulli masks materialised by XLA).
+    # - "flash": Pallas online-softmax kernel (ops.pallas.flash_attention);
+    #   attention dropout, when active, is FUSED — bits from the on-chip
+    #   PRNG inside the tile loop, nothing (Tq, Tk)-shaped materialised.
+    # - "auto": pick by shape/mode — flash when its measured domain wins
+    #   (dropout training steps, long sequences), XLA otherwise; never off
+    #   the TPU backend (elsewhere flash would run in interpreter mode).
+    #   The crossover table lives in docs/PERF.md.
     implementation: str = "xla"
+
+    # Measured on the v5e chip (docs/PERF.md "flash vs XLA crossover"):
+    # with dropout active the fused-PRNG kernel wins from t=256 (and wins
+    # the full TFAM train step at t=512: 9.65 vs 10.92 ms); without dropout
+    # the two tie until the (T, T) score tensor dominates HBM around t=4k —
+    # at t=8192 flash is 2.1x faster and at t=16384 XLA fails to compile.
+    _AUTO_FLASH_MIN_T_DROPOUT = 256
+    _AUTO_FLASH_MIN_T_NODROP = 4096
 
     @nn.compact
     def __call__(
@@ -116,10 +131,27 @@ class MultiHeadAttention(nn.Module):
         if attn_dropout_active:
             dropout_rng = self.make_rng("dropout")
 
-        if self.implementation == "flash" and not attn_dropout_active:
+        impl = self.implementation
+        if impl == "auto":
+            min_t = (self._AUTO_FLASH_MIN_T_DROPOUT if attn_dropout_active
+                     else self._AUTO_FLASH_MIN_T_NODROP)
+            impl = ("flash" if k.shape[2] >= min_t
+                    and jax.default_backend() == "tpu" else "xla")
+
+        if impl == "flash":
             from vimoclip_tpu.ops.pallas import flash_attention
 
-            out = flash_attention(q, k, v, key_padding_mask=key_padding_mask)
+            if attn_dropout_active:
+                seed = jax.random.randint(
+                    dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+                out = flash_attention(
+                    q, k, v, key_padding_mask=key_padding_mask,
+                    dropout_rate=self.dropout, dropout_seed=seed,
+                )
+            else:
+                out = flash_attention(q, k, v, key_padding_mask=key_padding_mask)
         else:
             out = dot_product_attention(
                 q,

@@ -1,32 +1,49 @@
-"""Pallas TPU kernel: masked multi-head attention (flash-style, block-Q),
-forward AND backward (custom VJP), so the fused kernel serves training too.
+"""Pallas TPU kernel: masked multi-head attention with online softmax
+(flash-style, blocked over BOTH Q and K), forward AND backward (custom VJP),
+with optional IN-KERNEL attention dropout drawn from the on-chip PRNG.
 
-The TFAM fusion model attends over ENTIRE padded videos (no frame cap,
-reference TFAM/train_and_eval.py:373,396; clips reach 450+ frames), so the
-(Tq, Tk) score matrix is the hot tensor. This kernel streams Q in
-``block_q`` tiles while keeping K/V rows of one (batch, head) resident in
-VMEM — for D_head=64 and Tk <= 4096 that's <= 2 MB, well inside the ~16 MB
-VMEM budget — and never materialises scores or probabilities in HBM:
+Why this shape of kernel:
 
-  forward, grid = (B, H, Tq/block_q):
-      S = (q_tile * scale) @ K^T + bias   (MXU)
-      P = softmax(S)                      (VPU)
-      o_tile = P @ V                      (MXU)
+- The TFAM fusion model attends over ENTIRE padded videos (no frame cap,
+  reference TFAM/train_and_eval.py:373,396; clips reach 450+ frames), so the
+  (Tq, Tk) score matrix is the hot tensor. K-blocking + online softmax mean
+  nothing (Tq, Tk)-shaped ever exists in HBM *or* has to fit VMEM whole —
+  sequence length is bounded by HBM for q/k/v only (the round-2 kernel kept
+  all K/V rows of a (batch, head) resident and capped Tk at ~4096).
+- Attention dropout (reference AMO_CLIP.py:19-28,35 via
+  torch.nn.MultiheadAttention) needs B*H*Tq*Tk random bits per layer. Drawn
+  host-style (jax.random.bernoulli) those bits are materialised in HBM —
+  a measured ~2 ms/step tax on the TFAM train recipe even with the fast rbg
+  generator (docs/PERF.md #1). Here the bits come from the TPU core's own
+  PRNG (`pltpu.prng_seed` / `pltpu.prng_random_bits`) inside the tile loop:
+  generated in VMEM, used, thrown away. The backward kernels re-seed with
+  the same (batch, head, q-tile, k-tile) tuple and regenerate identical
+  bits, so nothing mask-shaped is ever stored.
 
-  backward (same grid; P recomputed from the residuals — classic
-  flash-attention recompute, so nothing (Tq, Tk)-shaped is ever stored):
-      dV += P^T @ dO
-      dP  = dO @ V^T
-      dS  = P * (dP - rowsum(dP * P))
-      dQ  = (dS @ K) * scale
-      dK += (dS^T @ q_tile) * scale
-  dK/dV accumulate across Q tiles in VMEM: their output blocks map to the
-  same index for every qi step, so Pallas keeps them resident while the
-  innermost grid dimension sweeps the Q tiles.
+forward, grid (B, H, nQ, nK), K innermost; VMEM carries (m, l, acc):
+    s     = (q_tile * scale) @ k_tile^T + bias          (MXU)
+    m'    = max(m, rowmax(s));  p = exp(s - m')          (VPU)
+    l     = l * exp(m - m') + rowsum(p)
+    p     = p * keep_mask                                [dropout only]
+    acc   = acc * exp(m - m') + p @ v_tile               (MXU)
+    at nK-1:  o = acc / (l * keep_prob);  lse = m + log l
+
+backward (two sweeps, classic flash recompute from the saved lse):
+    dq kernel, grid (B, H, nQ, nK):   accumulates dq across k tiles
+    dkv kernel, grid (B, H, nK, nQ):  accumulates dk, dv across q tiles
+    with  P  = exp(s - lse)          (exact normalized probs)
+          dP = keep ∘ (dO @ V^T) / keep_prob
+          dS = P ∘ (dP - D),  D = rowsum(dO ∘ O)  (precomputed, works
+          unchanged under dropout because keep∘keep = keep)
+          dQ = (dS @ K) * scale;  dK += (dS^T @ Q) * scale;  dV += Pd^T @ dO
 
 Numerics match ops.attention.dot_product_attention (same scaling, same
-additive -1e9 masking). No attention dropout — the XLA path serves
-dropout-in-attention configs; with dropout=0.0 this kernel trains.
+additive -1e9 masking; with dropout, the same keep-probability/1/(1-p)
+scaling — the bit STREAM differs from jax.random, which is fine: the
+reference's own stream is torch's). Dropout statistics are validated on
+hardware (tests/test_pallas_tpu.py; the CPU interpreter stubs
+prng_random_bits to zeros, which this kernel's `bits < threshold` keep
+test maps to keep-everything — tests exploit that to check the plumbing).
 
 On non-TPU backends the kernels run in interpreter mode (tests exercise
 them on CPU; the compiled path is exercised on the real chip).
@@ -36,173 +53,480 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _MASK_VALUE = -1e9
+_NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    # blocks carry leading (1, 1) batch/head dims; peel them off
-    q = q_ref[0, 0] * scale                      # (block_q, d)
-    k = k_ref[0, 0]                              # (t_k, d)
+def _keep_threshold(dropout_rate: float) -> int:
+    """uint32 threshold with keep = (bits < threshold): keep probability is
+    round((1-p) * 2^32) / 2^32 — exact to 2^-32. Zeros (the CPU
+    interpreter's stub bits) fall below any nonzero threshold -> all-keep."""
+    return int(round((1.0 - dropout_rate) * 2.0**32))
+
+
+def _keep_mask(seed_ref, b, h, qi, ki, nq, nk, shape, threshold):
+    """Deterministic per-tile Bernoulli keep mask from the on-chip PRNG.
+    The tile coordinates are folded into ONE stream index (Mosaic's
+    prng_seed takes at most 2 values) so forward and the two backward
+    sweeps regenerate the SAME bits regardless of their grid order."""
+    nh = pl.num_programs(1)  # both grids are (B, H, ...): dim 1 is heads
+    tile = ((b * nh + h) * nq + qi) * nk + ki
+    pltpu.prng_seed(seed_ref[0], tile)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits < jnp.uint32(threshold)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale, dropout_rate, nq, nk):
+    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+
+    q = q_ref[0, 0]                                   # (bq, d)
+    k = k_ref[0, 0]                                   # (bk, d)
+    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+    s = s + bias_ref[0]                               # (bq, bk) f32
     v = v_ref[0, 0]
-    bias = bias_ref[0]                           # (1, t_k) -> broadcasts
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    scores = scores + bias
-    probs = jax.nn.softmax(scores, axis=-1)
-    o_ref[0, 0] = jnp.dot(
-        probs.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
 
+    if nk == 1:
+        # single K tile: plain softmax, no online bookkeeping/scratch reads
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref, b, h, qi, 0, nq, nk, p.shape,
+                              _keep_threshold(dropout_rate))
+            p = jnp.where(keep, p, 0.0)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (o / (l * (1.0 - dropout_rate))).astype(o_ref.dtype)
+        # row stats live as (8, bq) tiles (TPU blocks need a sublane dim
+        # divisible by 8); all 8 sublanes carry the same row.
+        lse_ref[0, 0] = jnp.broadcast_to((m + jnp.log(l)).T,
+                                         lse_ref.shape[2:])
+        return
 
-def _attn_bwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale
-):
-    qi = pl.program_id(2)
-    q = q_ref[0, 0]                              # (block_q, d)
-    k = k_ref[0, 0]                              # (t_k, d)
-    v = v_ref[0, 0]
-    bias = bias_ref[0]                           # (1, t_k)
-    do = do_ref[0, 0].astype(jnp.float32)        # (block_q, d)
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    scores = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32) + bias
-    probs = jax.nn.softmax(scores, axis=-1)      # (block_q, t_k) f32
-
-    # dV partial for this Q tile
-    dv_part = jnp.dot(probs.T, do, preferred_element_type=jnp.float32)
-    # softmax backward
-    dp = jnp.dot(do, v.astype(jnp.float32).T, preferred_element_type=jnp.float32)
-    delta = jnp.sum(dp * probs, axis=-1, keepdims=True)
-    ds = probs * (dp - delta)                    # (block_q, t_k) f32
-    dq_ref[0, 0] = (
-        jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
-        * scale
-    ).astype(dq_ref.dtype)
-    dk_part = (
-        jnp.dot(ds.T, q.astype(jnp.float32), preferred_element_type=jnp.float32)
-        * scale
+    m_prev = m_scr[:]                                 # (bq, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                            # (bq, bk) f32
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[:] = m_new
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, b, h, qi, ki, nq, nk, p.shape,
+                          _keep_threshold(dropout_rate))
+        p = jnp.where(keep, p, 0.0)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
 
-    # accumulate dK/dV across the Q-tile sweep (same out block every qi)
+    @pl.when(ki == nk - 1)
+    def _():
+        denom = l_scr[:] * (1.0 - dropout_rate)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        lse_ref[0, 0] = jnp.broadcast_to(
+            (m_scr[:] + jnp.log(l_scr[:])).T, lse_ref.shape[2:]
+        )
+
+
+# ---------------------------------------------------------------------------
+# backward: dq sweep (k innermost) and dkv sweep (q innermost)
+# ---------------------------------------------------------------------------
+
+
+def _recompute_probs(seed_ref, q, k, bias, lse, b, h, qi, ki, *,
+                     scale, dropout_rate, nq, nk):
+    """(P, keep) for one tile: exact softmax probs from the saved lse, and
+    the regenerated dropout keep mask (None when dropout is off)."""
+    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32) + bias
+    p = jnp.exp(s - lse[:, None])                    # (bq, bk) f32
+    keep = None
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, b, h, qi, ki, nq, nk, p.shape,
+                          _keep_threshold(dropout_rate))
+    return p, keep
+
+
+# Matmul inputs stay in the INPUT dtype (bf16 in production) with f32 MXU
+# accumulation — upcasting operands to f32 forces the MXU into multi-pass
+# f32 matmuls, measured ~1.8 ms/step slower on the TFAM train recipe.
+# Intermediates computed on the VPU (p, ds) are cast down at the dot.
+
+
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+               delta_ref, dq_ref, *, scale, dropout_rate, nq, nk):
+    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                                # (bq, d)
+    p, keep = _recompute_probs(
+        seed_ref, q, k, bias_ref[0], lse_ref[0, 0, 0], b, h, qi, ki,
+        scale=scale, dropout_rate=dropout_rate, nq=nq, nk=nk,
+    )
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    if keep is not None:
+        dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+    ds = p * (dp - delta_ref[0, 0, 0][:, None])      # (bq, bk) f32
+    dq_part = (jnp.dot(ds.astype(k.dtype), k,
+                       preferred_element_type=jnp.float32)
+               * scale).astype(dq_ref.dtype)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[0, 0] = dq_part
+
+    @pl.when(ki > 0)
+    def _():
+        dq_ref[0, 0] = dq_ref[0, 0] + dq_part
+
+
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                delta_ref, dk_ref, dv_ref, *, scale, dropout_rate, nq, nk):
+    # NOTE the grid here is (B, H, nK, nQ): qi is the INNERMOST dimension so
+    # dk/dv output blocks stay resident while q tiles sweep past.
+    b, h, ki, qi = (pl.program_id(i) for i in range(4))
+    q = q_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    p, keep = _recompute_probs(
+        seed_ref, q, k_ref[0, 0], bias_ref[0], lse_ref[0, 0, 0], b, h, qi, ki,
+        scale=scale, dropout_rate=dropout_rate, nq=nq, nk=nk,
+    )
+    if keep is not None:
+        pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
+    else:
+        pd = p
+    dv_part = jnp.dot(pd.astype(do.dtype).T, do,
+                      preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    if keep is not None:
+        dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+    ds = p * (dp - delta_ref[0, 0, 0][:, None])
+    dk_part = jnp.dot(ds.astype(q.dtype).T, q,
+                      preferred_element_type=jnp.float32) * scale
+
     @pl.when(qi == 0)
     def _():
-        dk_ref[0, 0] = dk_part.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_part.astype(dv_ref.dtype)
+        dk_ref[0, 0] = dk_part
+        dv_ref[0, 0] = dv_part
 
     @pl.when(qi > 0)
     def _():
-        dk_ref[0, 0] = dk_ref[0, 0] + dk_part.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_ref[0, 0] + dv_part.astype(dv_ref.dtype)
+        dk_ref[0, 0] = dk_ref[0, 0] + dk_part
+        dv_ref[0, 0] = dv_ref[0, 0] + dv_part
+
+
+def _dqkv_single_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                        lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, *,
+                        scale, dropout_rate, nq, nk):
+    """Combined backward for nk == 1 (whole K in one tile — the TFAM train
+    shapes): one score recompute yields dq, dk AND dv, halving backward
+    recompute FLOPs and kernel dispatches vs the two-sweep path.
+    Grid (B, H, nQ): dq written once per qi; dk/dv accumulate across qi."""
+    b, h, qi = (pl.program_id(i) for i in range(3))
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    p, keep = _recompute_probs(
+        seed_ref, q, k, bias_ref[0], lse_ref[0, 0, 0], b, h, qi, 0,
+        scale=scale, dropout_rate=dropout_rate, nq=nq, nk=nk,
+    )
+    if keep is not None:
+        pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
+    else:
+        pd = p
+    dv_part = jnp.dot(pd.astype(do.dtype).T, do,
+                      preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    if keep is not None:
+        dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+    ds = p * (dp - delta_ref[0, 0, 0][:, None])
+    dq_ref[0, 0] = (jnp.dot(ds.astype(k.dtype), k,
+                            preferred_element_type=jnp.float32)
+                    * scale).astype(dq_ref.dtype)
+    dk_part = jnp.dot(ds.astype(q.dtype).T, q,
+                      preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = dk_part
+        dv_ref[0, 0] = dv_part
+
+    @pl.when(qi > 0)
+    def _():
+        dk_ref[0, 0] = dk_ref[0, 0] + dk_part
+        dv_ref[0, 0] = dv_ref[0, 0] + dv_part
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_core(q, k, v, bias, block_q, interpret):
-    """Padded-shape core: q (B,H,Tq,D), k/v (B,H,Tk,D), bias (B,1,Tk)."""
-    return _flash_fwd_call(q, k, v, bias, block_q, interpret)
+def _specs(bq, bk, d, tq_p, tk_p):
+    """Common BlockSpecs keyed by grid position names. Index maps take the
+    4 grid coords in their kernel-specific order; callers pass lambdas.
+    Row statistics (lse, delta) are carried as (B, H, 8, T) with the row
+    replicated over 8 sublanes — TPU block shapes need the second-to-last
+    dim divisible by 8."""
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    q_spec = lambda im: pl.BlockSpec((1, 1, bq, d), im, memory_space=pltpu.VMEM)
+    kv_spec = lambda im: pl.BlockSpec((1, 1, bk, d), im, memory_space=pltpu.VMEM)
+    bias_spec = lambda im: pl.BlockSpec((1, 1, bk), im, memory_space=pltpu.VMEM)
+    row_spec = lambda im: pl.BlockSpec((1, 1, 8, bq), im, memory_space=pltpu.VMEM)
+    return seed_spec, q_spec, kv_spec, bias_spec, row_spec
 
 
-def _flash_fwd_call(q, k, v, bias, block_q, interpret):
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _flash_core(q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret):
+    """Padded-shape core: q (B,H,Tq,D), k/v (B,H,Tk,D), bias (B,1,Tk),
+    seed (1,) int32."""
+    out, _ = _flash_fwd_call(
+        q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret
+    )
+    return out
+
+
+def _flash_fwd_call(q, k, v, bias, seed, dropout_rate, block_q, block_k,
+                    interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
-    grid = (b, h, tq // block_q)
-    q_spec = pl.BlockSpec(
-        (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-        memory_space=pltpu.VMEM,
+    nq, nk = tq // block_q, tk // block_k
+    seed_spec, q_spec, kv_spec, bias_spec, row_spec = _specs(
+        block_q, block_k, d, tq, tk
     )
-    kv_spec = pl.BlockSpec(
-        (1, 1, tk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    bias_spec = pl.BlockSpec(
-        (1, 1, tk), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
-    )
-    return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
-        interpret=interpret,
-    )(q, k, v, bias)
-
-
-def _flash_fwd(q, k, v, bias, block_q, interpret):
-    out = _flash_fwd_call(q, k, v, bias, block_q, interpret)
-    return out, (q, k, v, bias)
-
-
-def _flash_bwd(block_q, interpret, residuals, g):
-    q, k, v, bias = residuals
-    b, h, tq, d = q.shape
-    tk = k.shape[2]
-    scale = 1.0 / (d ** 0.5)
-    grid = (b, h, tq // block_q)
-    q_spec = pl.BlockSpec(
-        (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-        memory_space=pltpu.VMEM,
-    )
-    kv_spec = pl.BlockSpec(
-        (1, 1, tk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    bias_spec = pl.BlockSpec(
-        (1, 1, tk), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
-    )
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
-        grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec],
-        out_specs=(q_spec, kv_spec, kv_spec),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale,
+                          dropout_rate=dropout_rate, nq=nq, nk=nk),
+        grid=(b, h, nq, nk),
+        in_specs=[
+            seed_spec,
+            q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            kv_spec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            kv_spec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            bias_spec(lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=(
+            q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            row_spec(lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        ),
         out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 8, tq), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max m
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running denom l
+            pltpu.VMEM((block_q, d), jnp.float32),   # output accumulator
+        ],
+        # only the K sweep carries state (m/l/acc scratch); Mosaic may
+        # pipeline/reorder the rest freely
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seed, q, k, v, bias)
+    return out, lse
+
+
+def _flash_fwd(q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret):
+    out, lse = _flash_fwd_call(
+        q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret
+    )
+    return out, (q, k, v, bias, seed, out, lse)
+
+
+def _flash_bwd(dropout_rate, block_q, block_k, interpret, residuals, g):
+    q, k, v, bias, seed, out, lse = residuals
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = 1.0 / (d ** 0.5)
+    nq, nk = tq // block_q, tk // block_k
+    # D = rowsum(dO ∘ O): the softmax-backward correction term, invariant
+    # under dropout (keep ∘ keep = keep). Broadcast over the 8-sublane row
+    # layout the kernels read (see _specs).
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, tq))
+    seed_spec, q_spec, kv_spec, bias_spec, row_spec = _specs(
+        block_q, block_k, d, tq, tk
+    )
+
+    if nk == 1:
+        # whole K in one tile: a single combined sweep yields all three
+        # gradients from ONE score recompute (the TFAM t<=512 train shapes)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_dqkv_single_kernel, scale=scale,
+                              dropout_rate=dropout_rate, nq=nq, nk=nk),
+            grid=(b, h, nq),
+            in_specs=[
+                seed_spec,
+                q_spec(lambda bi, hi, qi: (bi, hi, qi, 0)),
+                kv_spec(lambda bi, hi, qi: (bi, hi, 0, 0)),
+                kv_spec(lambda bi, hi, qi: (bi, hi, 0, 0)),
+                bias_spec(lambda bi, hi, qi: (bi, 0, 0)),
+                q_spec(lambda bi, hi, qi: (bi, hi, qi, 0)),    # dO
+                row_spec(lambda bi, hi, qi: (bi, hi, 0, qi)),  # lse
+                row_spec(lambda bi, hi, qi: (bi, hi, 0, qi)),  # delta
+            ],
+            out_specs=(
+                q_spec(lambda bi, hi, qi: (bi, hi, qi, 0)),
+                kv_spec(lambda bi, hi, qi: (bi, hi, 0, 0)),
+                kv_spec(lambda bi, hi, qi: (bi, hi, 0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct(k.shape, jnp.float32),
+                jax.ShapeDtypeStruct(v.shape, jnp.float32),
+            ),
+            # dk/dv accumulate across the q sweep (last dim)
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(seed, q, k, v, bias, g, lse, delta)
+        return (dq, dk.astype(k.dtype), dv.astype(v.dtype),
+                jnp.zeros_like(bias),
+                np.zeros(seed.shape, dtype=jax.dtypes.float0))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, dropout_rate=dropout_rate,
+                          nq=nq, nk=nk),
+        grid=(b, h, nq, nk),
+        in_specs=[
+            seed_spec,
+            q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            kv_spec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            kv_spec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            bias_spec(lambda bi, hi, qi, ki: (bi, 0, ki)),
+            q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),    # dO
+            row_spec(lambda bi, hi, qi, ki: (bi, hi, 0, qi)),  # lse
+            row_spec(lambda bi, hi, qi, ki: (bi, hi, 0, qi)),  # delta
+        ],
+        out_specs=q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        # dq accumulates across the k sweep (last dim)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seed, q, k, v, bias, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale,
+                          dropout_rate=dropout_rate, nq=nq, nk=nk),
+        grid=(b, h, nk, nq),
+        in_specs=[
+            seed_spec,
+            q_spec(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            kv_spec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            kv_spec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            bias_spec(lambda bi, hi, ki, qi: (bi, 0, ki)),
+            q_spec(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),    # dO
+            row_spec(lambda bi, hi, ki, qi: (bi, hi, 0, qi)),  # lse
+            row_spec(lambda bi, hi, ki, qi: (bi, hi, 0, qi)),  # delta
+        ],
+        out_specs=(
+            kv_spec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            kv_spec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ),
+        out_shape=(
             jax.ShapeDtypeStruct(k.shape, jnp.float32),
             jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ),
+        # dk/dv accumulate across the q sweep (last dim)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=interpret,
-    )(q, k, v, bias, g)
-    # bias derives from the (non-differentiable) padding mask
-    return dq, dk.astype(k.dtype), dv.astype(v.dtype), jnp.zeros_like(bias)
+    )(seed, q, k, v, bias, g, lse, delta)
+
+    # bias derives from the (non-differentiable) padding mask; seed is int.
+    return (dq, dk.astype(k.dtype), dv.astype(v.dtype), jnp.zeros_like(bias),
+            np.zeros(seed.shape, dtype=jax.dtypes.float0))
 
 
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("dropout_rate", "block_q", "block_k", "interpret"),
+)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     key_padding_mask: jax.Array | None = None,
-    block_q: int = 128,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Masked attention, torch MHA numerics. Differentiable (custom VJP with
-    a Pallas backward kernel).
+    """Masked attention, torch MHA numerics, online softmax over K blocks
+    (no sequence-length VMEM cap), optional fused attention dropout.
+    Differentiable (custom VJP with Pallas backward kernels).
 
     Args:
         q: (B, H, Tq, D) float32/bfloat16.
         k, v: (B, H, Tk, D).
         key_padding_mask: (B, Tk) bool, True = IGNORE key (torch convention).
+        dropout_rate: attention-weight dropout probability. Bits come from
+            the on-chip PRNG inside the kernel — nothing (Tq, Tk)-shaped is
+            materialised. Requires ``dropout_seed``.
+        dropout_seed: scalar/1-element int32 seed (e.g.
+            ``jax.random.randint`` from the layer's dropout rng). The same
+            seed reproduces the same mask, fwd and bwd.
+        block_q, block_k: tile sizes (clamped to the padded sequence).
     Returns:
         (B, H, Tq, D), dtype of q.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret is True and dropout_rate > 0.0:
+        # the generic interpreter has no lowering for the TPU PRNG
+        # primitives; the TPU-semantics interpreter stubs them (zero bits)
+        interpret = pltpu.InterpretParams()
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
     b, h, tq, d = q.shape
     tk = k.shape[2]
 
-    # Pad Tq to the tile grid and Tk to the lane multiple; padded keys get
-    # masked out via the bias so results are exact.
-    tq_p = _round_up(tq, block_q)
+    # Pad to the tile grid; padded keys get masked out via the bias so
+    # results are exact, padded q rows are sliced off.
+    tq_p = _round_up(tq, 128)
     tk_p = _round_up(tk, 128)
+    bq = min(block_q, tq_p)
+    bk = min(block_k, tk_p)
+    tq_p = _round_up(tq_p, bq)
+    tk_p = _round_up(tk_p, bk)
     if tq_p != tq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
     if tk_p != tk:
@@ -216,5 +540,11 @@ def flash_attention(
     ignore = jnp.pad(ignore, ((0, 0), (0, tk_p - tk)), constant_values=True)
     bias = jnp.where(ignore, _MASK_VALUE, 0.0).astype(jnp.float32)[:, None, :]
 
-    out = _flash_core(q, k, v, bias, block_q, interpret)
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+
+    out = _flash_core(q, k, v, bias, seed, float(dropout_rate), bq, bk,
+                      interpret)
     return out[:, :, :tq, :]

@@ -59,7 +59,11 @@ class StudentTrainer:
         num_classes: int = 140,
         alpha: float = 0.1,
         lr: float = 1e-5,
-        batch_size: int = 2,
+        # Measured batch-scaling on the v5e chip (docs/PERF.md): b2 -> 56%
+        # MFU, b4 -> 67%, b8 -> 73% (2,980 frames/s). 8 is the TPU
+        # operating point; any value (incl. the reference CLI default 32,
+        # train.py:183) stays reachable via the flag.
+        batch_size: int = 8,
         num_workers: int = 4,
         epochs: int = 10,
         distill_mode: str = "cosine",
