@@ -32,7 +32,10 @@ if not _ON_TPU:
 @pytest.fixture(scope="session")
 def devices():
     devs = jax.devices()
-    assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"
+    if len(devs) != 8:
+        # e.g. the whole suite run on the real chip (VIMO_TPU_TESTS=1):
+        # mesh-dependent tests skip rather than error
+        pytest.skip(f"needs 8 virtual CPU devices, got {len(devs)}")
     return devs
 
 

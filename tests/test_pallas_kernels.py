@@ -212,3 +212,83 @@ def test_mha_auto_resolves_to_xla_off_tpu():
     out_xla = m_xla.apply({"params": params}, x, deterministic=False,
                           rngs={"dropout": key})
     np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_xla))
+
+
+def test_flash_attention_non_power_of_two_lengths():
+    """tq=520/tk=460 exercise the divide-not-round block choice (640 = 5
+    q-tiles of 128, 512 = 4 k-tiles — no length padding beyond the
+    128-round-up) and must stay exact vs XLA."""
+    from vimoclip_tpu.ops.pallas.flash_attention import _largest_dividing_block
+
+    assert _largest_dividing_block(640, 512) == 128
+    assert _largest_dividing_block(512, 512) == 512
+    assert _largest_dividing_block(1024, 512) == 512
+    assert _largest_dividing_block(768, 512) == 384
+    assert _largest_dividing_block(128, 512) == 128
+
+    q, k, v = _qkv(15, b=1, h=2, tq=520, tk=460, d=32)
+    ignore = jnp.asarray(np.arange(460)[None, :] >= 450)
+    ref = dot_product_attention(q, k, v, key_padding_mask=ignore)
+    got = flash_attention(q, k, v, key_padding_mask=ignore, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_dropout_refuses_stubbed_prng():
+    """Auto-detected interpreter mode + dropout must refuse (the stubbed
+    PRNG would silently keep everything and inflate by 1/(1-p)); explicit
+    interpret=True remains the tests' escape hatch."""
+    q, k, v = _qkv(16, b=1, h=1, tq=16, tk=16, d=16)
+    with pytest.raises(RuntimeError, match="TPU backend"):
+        flash_attention(q, k, v, dropout_rate=0.1,
+                        dropout_seed=jnp.array([1], jnp.int32))
+
+
+def test_keep_threshold_clamps_to_uint32():
+    from vimoclip_tpu.ops.pallas.flash_attention import _keep_threshold
+
+    assert _keep_threshold(1e-12) == 2**32 - 1
+    assert _keep_threshold(0.5) == 2**31
+
+
+def test_flash_attention_sharded_matches_unsharded(mesh8):
+    """custom_partitioning: the kernel under a (data=4, model=2) mesh with
+    q/k/v sharded over (batch, heads) must produce exactly the unsharded
+    result — each device runs the same program on its local slab."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q, k, v = _qkv(30, b=4, h=2, tq=256, tk=256, d=32)
+    ignore = jnp.asarray(
+        np.broadcast_to(np.arange(256)[None, :] >= 200, (4, 256))
+    )
+    ref = flash_attention(q, k, v, key_padding_mask=ignore,
+                          block_q=128, block_k=128, interpret=True)
+
+    sh = NamedSharding(mesh8, P("data", "model", None, None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    got = jax.jit(
+        lambda q, k, v: flash_attention(
+            q, k, v, key_padding_mask=ignore,
+            block_q=128, block_k=128, interpret=True,
+        )
+    )(qs, ks, vs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_flash_attention_sharded_gradients_match(mesh8):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q, k, v = _qkv(31, b=4, h=2, tq=128, tk=128, d=32)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    sh = NamedSharding(mesh8, P("data", "model", None, None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    g_got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks, vs)
+    for a, b_ in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)

@@ -72,3 +72,43 @@ def test_sharded_tfam_train_step(mesh8):
         == P(None, "model")
     )
     assert np.isfinite(float(loss2))
+
+
+def test_sharded_tfam_flash_attention_matches_unsharded(mesh8):
+    """The Pallas flash path (attention_impl='flash') under the dp x tp
+    mesh: custom_partitioning splits the kernel over (batch, heads), so
+    sharded logits/grads must match the unsharded ones."""
+    cfg = TFAMModelConfig(d_model=64, nhead=4, num_layers=2,
+                          dim_feedforward=128, attention_impl="flash")
+    model = TFAM(config=cfg, num_classes=10)
+
+    b, t = 8, 12
+    rng = np.random.default_rng(1)
+    rgb = jnp.asarray(rng.normal(size=(b, t, 64)).astype(np.float32))
+    motion = jnp.asarray(rng.normal(size=(b, t - 1, 64)).astype(np.float32))
+    mask_rgb = jnp.ones((b, t), dtype=bool)
+    mask_flow = jnp.ones((b, t - 1), dtype=bool)
+    labels = jnp.asarray((rng.random((b, 10)) < 0.2).astype(np.float32))
+
+    params = model.init(jax.random.key(0), rgb, motion, mask_rgb, mask_flow)["params"]
+
+    def loss_fn(p, rgb, motion, mr, mf, y):
+        logits = model.apply({"params": p}, rgb, motion, mr, mf,
+                             deterministic=True)
+        return losses.bce_with_logits(logits, y)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(
+        params, rgb, motion, mask_rgb, mask_flow, labels
+    )
+
+    sharded_params = shard_params(params, TFAM_PARTITION_RULES, mesh8)
+    bs = batch_sharding(mesh8)
+    args = [jax.device_put(a, bs) for a in (rgb, motion, mask_rgb, mask_flow, labels)]
+    got_loss, got_grads = jax.jit(jax.value_and_grad(loss_fn))(
+        sharded_params, *args
+    )
+
+    assert abs(float(got_loss) - float(ref_loss)) < 1e-5
+    for r, g in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=5e-4, atol=1e-5)

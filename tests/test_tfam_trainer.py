@@ -290,17 +290,16 @@ def test_tfam_mid_epoch_resume_exact(config, tmp_path, mesh8):
         np.testing.assert_array_equal(pa, pc)
 
 
-def test_attention_impl_auto_downgrades_on_multidevice_mesh(
+def test_attention_impl_auto_survives_multidevice_mesh(
     config, tmp_path, mesh8
 ):
-    """auto -> xla under a >1-device mesh: Pallas calls carry no GSPMD
-    partitioning rule, so the trainer must pin the partitionable XLA path
-    (flash stays the measured single-chip winner, docs/PERF.md)."""
+    """The 'auto' default needs no downgrade under a >1-device mesh: the
+    flash kernel partitions over (batch, heads) via custom_partitioning
+    (sharded==unsharded parity in test_tfam_sharded / test_pallas_kernels).
+    Off-TPU, 'auto' resolves to the XLA path anyway (backend gate)."""
     assert config.model.attention_impl == "auto"  # the shipped default
     trainer = TFAMTrainer(
         config, log_dir=str(tmp_path / "logs_auto"),
         checkpoint_dir=str(tmp_path / "ckpt_auto"), mesh=mesh8,
     )
-    assert trainer.model.config.attention_impl == "xla"
-    # the caller's config object is not mutated
-    assert config.model.attention_impl == "auto"
+    assert trainer.model.config.attention_impl == "auto"

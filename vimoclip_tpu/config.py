@@ -105,8 +105,9 @@ class TFAMModelConfig:
     # (docs/PERF.md crossover table). "xla" pins reference numerics
     # everywhere; "flash" forces the kernel. Like dropout_rng_impl, only the
     # dropout BIT STREAM differs between impls — weights/logits numerics are
-    # the same attention math. TFAMTrainer downgrades auto->xla on multi-
-    # device meshes (Pallas calls carry no GSPMD partitioning rule).
+    # the same attention math. Multi-device meshes are fine: the kernel
+    # partitions over (batch, heads) via custom_partitioning with
+    # per-(row, head) dropout seeds, so sharded == unsharded bit-exactly.
     attention_impl: str = "auto"
 
 

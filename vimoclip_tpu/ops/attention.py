@@ -142,9 +142,12 @@ class MultiHeadAttention(nn.Module):
             from vimoclip_tpu.ops.pallas import flash_attention
 
             if attn_dropout_active:
+                # one independent seed per (row, head): decorrelated bit
+                # streams, and (with the kernel's custom_partitioning)
+                # bit-identical results under any batch/head sharding
                 seed = jax.random.randint(
-                    dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max,
-                    dtype=jnp.int32,
+                    dropout_rng, (q.shape[0], self.num_heads), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
                 )
                 out = flash_attention(
                     q, k, v, key_padding_mask=key_padding_mask,

@@ -17,8 +17,15 @@ Why this shape of kernel:
   generator (docs/PERF.md #1). Here the bits come from the TPU core's own
   PRNG (`pltpu.prng_seed` / `pltpu.prng_random_bits`) inside the tile loop:
   generated in VMEM, used, thrown away. The backward kernels re-seed with
-  the same (batch, head, q-tile, k-tile) tuple and regenerate identical
+  the same (row/head seed, q-tile, k-tile) tuple and regenerate identical
   bits, so nothing mask-shaped is ever stored.
+- Multi-device: the kernels are data-parallel over (batch, head), declared
+  to GSPMD via custom_partitioning — under a sharded jit each device runs
+  the same program on its local slab (no gather, no replication). Dropout
+  seeds are per (row, head), so the bit stream is a function of each row's
+  own seed, not its shard-local position: sharded results are bit-identical
+  to unsharded ones (tested both at kernel level and through the TFAM
+  model on the 8-device CPU mesh).
 
 forward, grid (B, H, nQ, nK), K innermost; VMEM carries (m, l, acc):
     s     = (q_tile * scale) @ k_tile^T + bias          (MXU)
@@ -58,6 +65,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 _MASK_VALUE = -1e9
@@ -66,19 +74,25 @@ _NEG_INF = -1e30
 
 def _keep_threshold(dropout_rate: float) -> int:
     """uint32 threshold with keep = (bits < threshold): keep probability is
-    round((1-p) * 2^32) / 2^32 — exact to 2^-32. Zeros (the CPU
-    interpreter's stub bits) fall below any nonzero threshold -> all-keep."""
-    return int(round((1.0 - dropout_rate) * 2.0**32))
+    round((1-p) * 2^32) / 2^32 — exact to 2^-32 (clamped into uint32 range:
+    rates below ~2^-33 would otherwise round to 2^32 and overflow). Zeros
+    (the CPU interpreter's stub bits) fall below any nonzero threshold ->
+    all-keep."""
+    return min(2**32 - 1, int(round((1.0 - dropout_rate) * 2.0**32)))
 
 
 def _keep_mask(seed_ref, b, h, qi, ki, nq, nk, shape, threshold):
     """Deterministic per-tile Bernoulli keep mask from the on-chip PRNG.
-    The tile coordinates are folded into ONE stream index (Mosaic's
-    prng_seed takes at most 2 values) so forward and the two backward
-    sweeps regenerate the SAME bits regardless of their grid order."""
-    nh = pl.num_programs(1)  # both grids are (B, H, ...): dim 1 is heads
-    tile = ((b * nh + h) * nq + qi) * nk + ki
-    pltpu.prng_seed(seed_ref[0], tile)
+
+    ``seed_ref`` holds ONE seed PER (batch row, head) (SMEM, local (B, H)):
+    that seed plus a (q-tile, k-tile) stream index fold into Mosaic's
+    two-value ``prng_seed``, so forward and the two backward sweeps
+    regenerate the SAME bits regardless of their grid order — and because
+    the stream is keyed by the row/head's own seed (not its position in
+    the local shard), the mask is IDENTICAL under any batch/head sharding
+    of the kernel (see the custom_partitioning wrappers below)."""
+    tile = qi * nk + ki
+    pltpu.prng_seed(seed_ref[b, h], tile)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     return bits < jnp.uint32(threshold)
 
@@ -88,8 +102,15 @@ def _keep_mask(seed_ref, b, h, qi, ki, nq, nk, shape, threshold):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, scale, dropout_rate, nq, nk):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
+                scale, dropout_rate, nq, nk, with_lse):
+    # with_lse=False is the inference-only variant (primal _flash_core
+    # path): no (B, H, 8, Tq) lse ever allocated or written — serving/eval
+    # forwards pay for exactly the output they use.
+    if with_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        lse_ref, (m_scr, l_scr, acc_scr) = None, rest
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
 
     q = q_ref[0, 0]                                   # (bq, d)
@@ -109,10 +130,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             p = jnp.where(keep, p, 0.0)
         o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         o_ref[0, 0] = (o / (l * (1.0 - dropout_rate))).astype(o_ref.dtype)
-        # row stats live as (8, bq) tiles (TPU blocks need a sublane dim
-        # divisible by 8); all 8 sublanes carry the same row.
-        lse_ref[0, 0] = jnp.broadcast_to((m + jnp.log(l)).T,
-                                         lse_ref.shape[2:])
+        if lse_ref is not None:
+            # row stats live as (8, bq) tiles (TPU blocks need a sublane
+            # dim divisible by 8); all 8 sublanes carry the same row.
+            lse_ref[0, 0] = jnp.broadcast_to((m + jnp.log(l)).T,
+                                             lse_ref.shape[2:])
         return
 
     @pl.when(ki == 0)
@@ -139,9 +161,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     def _():
         denom = l_scr[:] * (1.0 - dropout_rate)
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
-        lse_ref[0, 0] = jnp.broadcast_to(
-            (m_scr[:] + jnp.log(l_scr[:])).T, lse_ref.shape[2:]
-        )
+        if lse_ref is not None:
+            lse_ref[0, 0] = jnp.broadcast_to(
+                (m_scr[:] + jnp.log(l_scr[:])).T, lse_ref.shape[2:]
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +307,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _specs(bq, bk, d, tq_p, tk_p):
+def _largest_dividing_block(t_p: int, block: int) -> int:
+    """Largest multiple of 128 that divides ``t_p`` (itself a multiple of
+    128) and is <= block. 128 always qualifies, so sequences never pad
+    beyond their 128-rounded length just to fill a tile grid."""
+    best = 128
+    for b in range(2 * 128, min(block, t_p) + 1, 128):
+        if t_p % b == 0:
+            best = b
+    return best
+
+
+def _specs(bq, bk, d):
     """Common BlockSpecs keyed by grid position names. Index maps take the
     4 grid coords in their kernel-specific order; callers pass lambdas.
     Row statistics (lse, delta) are carried as (B, H, 8, T) with the row
@@ -298,30 +332,25 @@ def _specs(bq, bk, d, tq_p, tk_p):
     return seed_spec, q_spec, kv_spec, bias_spec, row_spec
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
-)
-def _flash_core(q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret):
-    """Padded-shape core: q (B,H,Tq,D), k/v (B,H,Tk,D), bias (B,1,Tk),
-    seed (1,) int32."""
-    out, _ = _flash_fwd_call(
-        q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret
-    )
-    return out
-
-
-def _flash_fwd_call(q, k, v, bias, seed, dropout_rate, block_q, block_k,
-                    interpret):
+def _fwd_local(q, k, v, bias, seed, dropout_rate, block_q, block_k,
+               interpret, need_lse):
+    """The forward pallas_call on (possibly per-shard local) shapes."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     nq, nk = tq // block_q, tk // block_k
     seed_spec, q_spec, kv_spec, bias_spec, row_spec = _specs(
-        block_q, block_k, d, tq, tk
+        block_q, block_k, d
     )
-    out, lse = pl.pallas_call(
+    out_specs = [q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, h, tq, d), q.dtype)]
+    if need_lse:
+        out_specs.append(row_spec(lambda bi, hi, qi, ki: (bi, hi, 0, qi)))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, 8, tq), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
-                          dropout_rate=dropout_rate, nq=nq, nk=nk),
+                          dropout_rate=dropout_rate, nq=nq, nk=nk,
+                          with_lse=need_lse),
         grid=(b, h, nq, nk),
         in_specs=[
             seed_spec,
@@ -330,14 +359,8 @@ def _flash_fwd_call(q, k, v, bias, seed, dropout_rate, block_q, block_k,
             kv_spec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
             bias_spec(lambda bi, hi, qi, ki: (bi, 0, ki)),
         ],
-        out_specs=(
-            q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            row_spec(lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 8, tq), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),   # running max m
             pltpu.VMEM((block_q, 1), jnp.float32),   # running denom l
@@ -351,29 +374,19 @@ def _flash_fwd_call(q, k, v, bias, seed, dropout_rate, block_q, block_k,
         ),
         interpret=interpret,
     )(seed, q, k, v, bias)
-    return out, lse
+    return res if need_lse else res[0]
 
 
-def _flash_fwd(q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret):
-    out, lse = _flash_fwd_call(
-        q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret
-    )
-    return out, (q, k, v, bias, seed, out, lse)
-
-
-def _flash_bwd(dropout_rate, block_q, block_k, interpret, residuals, g):
-    q, k, v, bias, seed, out, lse = residuals
+def _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
+               block_k, interpret):
+    """The backward pallas_call(s) on (possibly per-shard local) shapes.
+    Returns raw-dtype (dq, dk, dv); the caller casts."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     nq, nk = tq // block_q, tk // block_k
-    # D = rowsum(dO ∘ O): the softmax-backward correction term, invariant
-    # under dropout (keep ∘ keep = keep). Broadcast over the 8-sublane row
-    # layout the kernels read (see _specs).
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, tq))
     seed_spec, q_spec, kv_spec, bias_spec, row_spec = _specs(
-        block_q, block_k, d, tq, tk
+        block_q, block_k, d
     )
 
     if nk == 1:
@@ -409,9 +422,7 @@ def _flash_bwd(dropout_rate, block_q, block_k, interpret, residuals, g):
             ),
             interpret=interpret,
         )(seed, q, k, v, bias, g, lse, delta)
-        return (dq, dk.astype(k.dtype), dv.astype(v.dtype),
-                jnp.zeros_like(bias),
-                np.zeros(seed.shape, dtype=jax.dtypes.float0))
+        return dq, dk, dv
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, dropout_rate=dropout_rate,
@@ -428,7 +439,9 @@ def _flash_bwd(dropout_rate, block_q, block_k, interpret, residuals, g):
             row_spec(lambda bi, hi, qi, ki: (bi, hi, 0, qi)),  # delta
         ],
         out_specs=q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        # f32 accumulator like dk/dv: dq sums nk partials across the K
+        # sweep — accumulating in bf16 would round every partial add
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
         # dq accumulates across the k sweep (last dim)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -467,8 +480,198 @@ def _flash_bwd(dropout_rate, block_q, block_k, interpret, residuals, g):
         interpret=interpret,
     )(seed, q, k, v, bias, g, lse, delta)
 
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning: the pallas calls are data-parallel over (batch, head),
+# so under a sharded jit each device runs the SAME kernel on its local
+# (b, h) slab — no all-gather, no replication. custom_partitioning tells
+# the partitioner exactly that (Pallas calls otherwise carry no rule and
+# would be gathered+replicated). The per-(row, head) dropout seeds make the
+# kernel's random bits a function of the row's own seed, not its position
+# in the local shard, so any sharding produces bit-identical results.
+#
+# AD cannot trace through custom_partitioning ("differentiation rule not
+# implemented"), so the wrappers live INSIDE the custom_vjp rules, which
+# are the only callers.
+# ---------------------------------------------------------------------------
+
+
+def _spec_of(sharding):
+    from jax.sharding import PartitionSpec as P
+
+    spec = getattr(sharding, "spec", None)
+    return spec if spec is not None else P()
+
+
+def _bh_axes(arg_shapes):
+    """(batch_axis, head_axis) mesh axes suggested by q's sharding."""
+    qs = _spec_of(arg_shapes[0].sharding)
+    db = qs[0] if len(qs) > 0 else None
+    dh = qs[1] if len(qs) > 1 else None
+    return db, dh
+
+
+def _fwd_arg_out_shardings(mesh, db, dh, need_lse):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    p4 = NamedSharding(mesh, P(db, dh, None, None))
+    args = (
+        p4,                                        # q
+        p4,                                        # k
+        p4,                                        # v
+        NamedSharding(mesh, P(db, None, None)),    # bias
+        NamedSharding(mesh, P(db, dh)),            # seed
+    )
+    outs = (p4, p4) if need_lse else p4
+    return args, outs
+
+
+def _make_fwd_part(need_lse):
+    def fwd(q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret):
+        return _fwd_local(q, k, v, bias, seed, dropout_rate, block_q,
+                          block_k, interpret, need_lse)
+
+    wrapped = custom_partitioning(fwd, static_argnums=(5, 6, 7, 8))
+
+    def infer(dropout_rate, block_q, block_k, interpret, mesh, arg_shapes,
+              result_shape):
+        db, dh = _bh_axes(arg_shapes)
+        _, outs = _fwd_arg_out_shardings(mesh, db, dh, need_lse)
+        return outs
+
+    def partition(dropout_rate, block_q, block_k, interpret, mesh,
+                  arg_shapes, result_shape):
+        db, dh = _bh_axes(arg_shapes)
+        args, outs = _fwd_arg_out_shardings(mesh, db, dh, need_lse)
+
+        def lower(q, k, v, bias, seed):
+            return _fwd_local(q, k, v, bias, seed, dropout_rate, block_q,
+                              block_k, interpret, need_lse)
+
+        return mesh, lower, outs, args
+
+    rule = ("b h q d, b h k d, b h k d, b z k, b h -> b h q d, b h e q"
+            if need_lse else
+            "b h q d, b h k d, b h k d, b z k, b h -> b h q d")
+    wrapped.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return wrapped
+
+
+_fwd_part_lse = _make_fwd_part(need_lse=True)
+_fwd_part_nolse = _make_fwd_part(need_lse=False)
+
+
+def _bwd_part_fn(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
+                 block_k, interpret):
+    return _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate,
+                      block_q, block_k, interpret)
+
+
+_bwd_part = custom_partitioning(_bwd_part_fn, static_argnums=(8, 9, 10, 11))
+
+
+def _bwd_infer(dropout_rate, block_q, block_k, interpret, mesh, arg_shapes,
+               result_shape):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    db, dh = _bh_axes(arg_shapes)
+    p4 = NamedSharding(mesh, P(db, dh, None, None))
+    return (p4, p4, p4)
+
+
+def _bwd_partition(dropout_rate, block_q, block_k, interpret, mesh,
+                   arg_shapes, result_shape):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    db, dh = _bh_axes(arg_shapes)
+    p4 = NamedSharding(mesh, P(db, dh, None, None))
+    args = (
+        p4, p4, p4,                                # q, k, v
+        NamedSharding(mesh, P(db, None, None)),    # bias
+        NamedSharding(mesh, P(db, dh)),            # seed
+        p4,                                        # dO
+        p4,                                        # lse (B,H,8,Tq)
+        p4,                                        # delta
+    )
+
+    def lower(q, k, v, bias, seed, g, lse, delta):
+        return _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate,
+                          block_q, block_k, interpret)
+
+    return mesh, lower, (p4, p4, p4), args
+
+
+_bwd_part.def_partition(
+    infer_sharding_from_operands=_bwd_infer,
+    partition=_bwd_partition,
+    sharding_rule=(
+        "b h q d, b h k d, b h k d, b z k, b h, b h q d, b h e q, b h e q"
+        " -> b h q d, b h k d, b h k d"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core
+# ---------------------------------------------------------------------------
+
+
+def _fwd_dispatch(q, k, v, bias, seed, dropout_rate, block_q, block_k,
+                  interpret, need_lse):
+    """Partitioned path, except under the TPU-semantics interpreter
+    (pltpu.InterpretParams — the CPU stub-dropout test mode), whose
+    io-callback effects custom_partitioning cannot lower."""
+    if isinstance(interpret, pltpu.InterpretParams):
+        return _fwd_local(q, k, v, bias, seed, dropout_rate, block_q,
+                          block_k, interpret, need_lse)
+    part = _fwd_part_lse if need_lse else _fwd_part_nolse
+    return part(q, k, v, bias, seed, dropout_rate, block_q, block_k,
+                interpret)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _flash_core(q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret):
+    """Padded-shape core: q (B,H,Tq,D), k/v (B,H,Tk,D), bias (B,1,Tk),
+    seed (B,H) int32 (one PRNG seed per row and head). As the custom_vjp
+    PRIMAL this only runs when nothing differentiates through it — so it
+    uses the lse-free forward."""
+    return _fwd_dispatch(q, k, v, bias, seed, dropout_rate, block_q,
+                         block_k, interpret, need_lse=False)
+
+
+def _flash_fwd(q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret):
+    out, lse = _fwd_dispatch(
+        q, k, v, bias, seed, dropout_rate, block_q, block_k, interpret,
+        need_lse=True,
+    )
+    return out, (q, k, v, bias, seed, out, lse)
+
+
+def _flash_bwd(dropout_rate, block_q, block_k, interpret, residuals, g):
+    q, k, v, bias, seed, out, lse = residuals
+    b, h, tq, _ = q.shape
+    # D = rowsum(dO ∘ O): the softmax-backward correction term, invariant
+    # under dropout (keep ∘ keep = keep). Broadcast over the 8-sublane row
+    # layout the kernels read (see _specs).
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, tq))
+    bwd = (_bwd_local if isinstance(interpret, pltpu.InterpretParams)
+           else _bwd_part)
+    dq, dk, dv = bwd(
+        q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q, block_k,
+        interpret,
+    )
     # bias derives from the (non-differentiable) padding mask; seed is int.
-    return (dq, dk.astype(k.dtype), dv.astype(v.dtype), jnp.zeros_like(bias),
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(bias),
             np.zeros(seed.shape, dtype=jax.dtypes.float0))
 
 
@@ -501,14 +704,33 @@ def flash_attention(
         dropout_rate: attention-weight dropout probability. Bits come from
             the on-chip PRNG inside the kernel — nothing (Tq, Tk)-shaped is
             materialised. Requires ``dropout_seed``.
-        dropout_seed: scalar/1-element int32 seed (e.g.
-            ``jax.random.randint`` from the layer's dropout rng). The same
-            seed reproduces the same mask, fwd and bwd.
+        dropout_seed: int32 seed(s) from the layer's dropout rng — a scalar
+            (expanded to one seed per (row, head): seed + index), or a
+            (B,) per-row vector, or a (B, H) per-(row, head) matrix. The
+            same seeds reproduce the same mask, fwd and bwd; because bits
+            are keyed by each row/head's OWN seed, results are identical
+            under any batch/head sharding.
         block_q, block_k: tile sizes (clamped to the padded sequence).
+
+    Under a multi-device mesh the kernels partition over (batch, head) via
+    custom_partitioning — each device runs the same program on its local
+    slab, with no gather/replication and bit-identical outputs to the
+    unsharded call.
     Returns:
         (B, H, Tq, D), dtype of q.
     """
     if interpret is None:
+        if jax.default_backend() != "tpu" and dropout_rate > 0.0:
+            # The interpreters stub the TPU PRNG (zero bits -> keep-all),
+            # which would silently disable dropout AND inflate the output
+            # by 1/(1-p). Refuse rather than mis-train; tests that
+            # deliberately exercise the stubbed plumbing pass
+            # interpret=True explicitly.
+            raise RuntimeError(
+                "fused attention dropout needs the TPU backend (the "
+                "interpreter's stubbed PRNG would silently keep "
+                "everything); use implementation='xla' off-TPU"
+            )
         interpret = jax.default_backend() != "tpu"
     if interpret is True and dropout_rate > 0.0:
         # the generic interpreter has no lowering for the TPU PRNG
@@ -520,13 +742,14 @@ def flash_attention(
     tk = k.shape[2]
 
     # Pad to the tile grid; padded keys get masked out via the bias so
-    # results are exact, padded q rows are sliced off.
+    # results are exact, padded q rows are sliced off. Block sizes are the
+    # largest 128-multiples <= block_q/block_k that DIVIDE the 128-rounded
+    # lengths, so no further length padding is ever added (tq=520 runs as
+    # 640 = 5 x 128-tiles, not rounded up to one 1024 block).
     tq_p = _round_up(tq, 128)
     tk_p = _round_up(tk, 128)
-    bq = min(block_q, tq_p)
-    bk = min(block_k, tk_p)
-    tq_p = _round_up(tq_p, bq)
-    tk_p = _round_up(tk_p, bk)
+    bq = _largest_dividing_block(tq_p, block_q)
+    bk = _largest_dividing_block(tk_p, block_k)
     if tq_p != tq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
     if tk_p != tk:
@@ -537,13 +760,29 @@ def flash_attention(
         ignore = jnp.zeros((b, tk), dtype=bool)
     else:
         ignore = key_padding_mask
+        if ignore.shape != (b, tk):
+            raise ValueError(
+                f"key_padding_mask must be (B, Tk) = {(b, tk)}; got "
+                f"{ignore.shape}"
+            )
     ignore = jnp.pad(ignore, ((0, 0), (0, tk_p - tk)), constant_values=True)
     bias = jnp.where(ignore, _MASK_VALUE, 0.0).astype(jnp.float32)[:, None, :]
 
     if dropout_seed is None:
-        seed = jnp.zeros((1,), jnp.int32)
+        seed = jnp.zeros((b, h), jnp.int32)
     else:
-        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+        seed = jnp.asarray(dropout_seed, jnp.int32)
+        if seed.size == 1:
+            seed = seed.reshape(()) + jnp.arange(
+                b * h, dtype=jnp.int32
+            ).reshape(b, h)
+        elif seed.shape == (b,):
+            seed = seed[:, None] + jnp.arange(h, dtype=jnp.int32)[None, :]
+        elif seed.shape != (b, h):
+            raise ValueError(
+                f"dropout_seed must be scalar, (B,), or (B, H); got "
+                f"{seed.shape} for B={b}, H={h}"
+            )
 
     out = _flash_core(q, k, v, bias, seed, float(dropout_rate), bq, bk,
                       interpret)

@@ -19,7 +19,6 @@ device double-buffered. Orbax checkpoints support true resume.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import json
@@ -86,16 +85,13 @@ class TFAMTrainer:
         self.mesh = mesh if mesh is not None else create_mesh(
             MeshConfig(config.training.data_parallel, config.training.model_parallel)
         )
-        model_cfg = config.model
-        if model_cfg.attention_impl == "auto" and self.mesh.devices.size > 1:
-            # Pallas calls carry no GSPMD partitioning rule: under a
-            # multi-device mesh XLA would all-gather their operands and run
-            # the kernel replicated, silently serialising the sharded step.
-            # The XLA attention partitions cleanly; flash stays the
-            # single-chip winner (docs/PERF.md).
-            model_cfg = dataclasses.replace(model_cfg, attention_impl="xla")
+        # attention_impl="auto" works under any mesh: the flash kernel
+        # partitions over (batch, heads) via custom_partitioning
+        # (ops/pallas/flash_attention.py) with per-(row, head) dropout
+        # seeds, so sharded results are bit-identical to unsharded.
+        # attention_impl="xla" remains the escape hatch.
         self.model = TFAM(
-            config=model_cfg, num_classes=config.num_classes,
+            config=config.model, num_classes=config.num_classes,
             dtype=jnp.bfloat16 if config.training.half_precision else jnp.float32,
         )
         # Init keys stay on the default (threefry) generator so initial
