@@ -5,6 +5,7 @@ import cv2
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from vimoclip_tpu.ops.preprocess import (
@@ -125,3 +126,56 @@ def test_preprocess_then_encoder_embedding_parity():
         np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1)
     )
     assert cos.min() > 0.9995, cos
+
+
+# ---------------------------------------------------------------------------
+# thin (8-bit-mask) dropout — ops/dropout.py
+# ---------------------------------------------------------------------------
+
+
+def test_thin_dropout_statistics_and_unbiasedness():
+    from vimoclip_tpu.ops.dropout import thin_dropout
+
+    rate = 0.1
+    x = jnp.ones((256, 1024), jnp.float32)
+    out = np.asarray(thin_dropout(x, rate, jax.random.key(0)))
+    kept = out > 0
+    # keep rate ~ quantized keep prob 230/256, binomial tolerance
+    q = round((1 - rate) * 256) / 256
+    assert abs(kept.mean() - q) < 0.005, (kept.mean(), q)
+    # unbiased: mean of output equals mean of input (exact quantized rescale)
+    assert abs(out.mean() - 1.0) < 0.01, out.mean()
+    # kept entries all equal 1/q exactly
+    np.testing.assert_allclose(out[kept], 1.0 / q, rtol=1e-6)
+
+
+def test_thin_dropout_module_deterministic_and_zero_rate():
+    from vimoclip_tpu.ops.dropout import Dropout
+
+    x = jnp.arange(12.0).reshape(3, 4)
+    m = Dropout(0.5)
+    out_det = m.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_det), np.asarray(x))
+    m0 = Dropout(0.0)
+    out0 = m0.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(x))
+    # same rng -> same mask; different rng -> different mask
+    m5 = Dropout(0.5)
+    a = m5.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(2)})
+    b = m5.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(2)})
+    c = m5.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(3)})
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_thin_dropout_gradient_matches_mask():
+    from vimoclip_tpu.ops.dropout import thin_dropout
+
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((64, 64)),
+                    jnp.float32)
+    key = jax.random.key(7)
+    out, vjp = jax.vjp(lambda x: thin_dropout(x, 0.3, key), x)
+    (gx,) = vjp(jnp.ones_like(out))
+    # gradient is the same scaled mask applied to ones
+    ref = np.asarray(thin_dropout(jnp.ones_like(x), 0.3, key))
+    np.testing.assert_allclose(np.asarray(gx), ref, rtol=1e-6)

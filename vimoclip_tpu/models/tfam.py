@@ -74,7 +74,13 @@ class AttentionLayer(nn.Module):
         cross_key_padding_mask: jax.Array | None = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        drop = lambda t: nn.Dropout(self.dropout, deterministic=deterministic)(t)
+        # 8-bit-mask dropout (ops.dropout): the five per-layer elementwise
+        # masks are pure HBM traffic — thin bits cut it 4x, ~0.5 ms/step on
+        # the t512 recipe (docs/PERF.md #4). Unbiased; keep-prob quantized
+        # to 1/256 (<0.2% shift); bit stream impl-defined as always.
+        from vimoclip_tpu.ops.dropout import Dropout as ThinDropout
+
+        drop = lambda t: ThinDropout(self.dropout, deterministic=deterministic)(t)
         ln = lambda name: nn.LayerNorm(epsilon=_LN_EPS, name=name)
 
         attn_out = MultiHeadAttention(
