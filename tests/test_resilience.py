@@ -135,3 +135,25 @@ def test_best_metric_survives_resume_from_step_checkpoint(tmp_path):
     # a worse epoch after resume must NOT replace best
     assert not ckpt2.save_if_best(state, 0.5)
     assert ckpt2.save_if_best(state, 0.95)
+
+
+def test_default_data_config_has_no_seq_cap():
+    """Reference semantics by default: no truncation cap — clips pad to the
+    batch max however long (TFAM/data/dataset.py:86-103). The flash
+    attention path keeps memory linear in T, so no guard is needed."""
+    from vimoclip_tpu.config import DataConfig
+    from vimoclip_tpu.data import collate_pad
+
+    assert DataConfig().max_seq_len is None
+    items = [
+        {
+            "video_id": f"v{i}",
+            "embeddings": np.ones((t, 4), np.float32),
+            "motion_embeddings": np.ones((t - 1, 4), np.float32),
+            "labels": np.zeros(3, np.float32),
+        }
+        for i, t in enumerate([2100, 64])
+    ]
+    batch = collate_pad(items, bucket=128, max_seq_len=None)
+    assert batch["embeddings"].shape[1] == 2176  # 2100 rounded to bucket
+    assert batch["mask_rgb"][0].sum() == 2100  # nothing truncated

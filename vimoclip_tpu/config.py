@@ -77,7 +77,13 @@ class DataConfig:
     # TPU-native addition: pad sequence lengths up to multiples of this bucket
     # so XLA compiles a handful of shapes instead of one per batch.
     length_bucket: int = 128
-    max_seq_len: int = 2048
+    # Optional hard cap on padded sequence length (videos beyond it are
+    # TRUNCATED). None = reference semantics: pad to the batch max with no
+    # cap (TFAM/data/dataset.py:86-103). The default attention_impl="auto"
+    # keeps attention memory linear in T (flash kernel from t>=4096), so
+    # long clips no longer need a guard; set a cap only to bound the XLA
+    # attention path's (T, T) scores or pathological inputs.
+    max_seq_len: int | None = None
 
     @property
     def motion_dataset_path(self) -> str:

@@ -85,14 +85,19 @@ class MotionEmbeddingExporter:
         dtype = jnp.bfloat16 if half_precision else jnp.float32
         encoder = ClipVisionEncoder(vision_config, dtype=dtype)
         # The exporter needs only the visual tower (raw embeddings branch).
-        params = student_params.get("visual_encoder", student_params)
+        # Params are a jit ARGUMENT, not a closure constant — closing over
+        # them would bake ~350 MB of weights into the compiled program
+        # (extraction.py and serving.py follow the same rule).
+        params = jax.device_put(
+            student_params.get("visual_encoder", student_params)
+        )
 
         @jax.jit
-        def embed(frames):
+        def embed(params, frames):
             pixels = clip_preprocess(frames, vision_config.image_size, dtype=dtype)
             return encoder.apply({"params": params}, pixels).astype(jnp.float32)
 
-        self._embed = embed
+        self._embed = lambda frames: embed(params, frames)
 
     def _embed_chunk(self, frames: np.ndarray) -> np.ndarray:
         n = frames.shape[0]

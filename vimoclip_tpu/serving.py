@@ -31,7 +31,7 @@ from vimoclip_tpu.config import TFAMModelConfig
 from vimoclip_tpu.data.video_reader import read_video
 from vimoclip_tpu.models import TFAM
 from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
-from vimoclip_tpu.ops.batching import embed_in_fixed_batches, round_up_bucket
+from vimoclip_tpu.ops.batching import round_up_bucket
 from vimoclip_tpu.ops.preprocess import clip_preprocess, frame_diff
 
 
@@ -72,13 +72,19 @@ class ViMoCLIPPredictor:
         student_tower = student_params.get("visual_encoder", student_params)
         tfam = TFAM(config=tfam_config, num_classes=num_classes, dtype=dtype)
 
+        # Params are jit ARGUMENTS, not closure constants: closing over them
+        # would bake hundreds of MB of weights into every compiled program
+        # (bloated executables; on remote-compile rigs the upload is
+        # rejected outright). Device-resident once, passed by reference.
         def _make_embed(enc, params, image_size):
+            params = jax.device_put(params)
+
             @jax.jit
-            def embed(frames):  # (N, H, W, 3) uint8, N == frame_batch
+            def embed(params, frames):  # (N, H, W, 3) uint8, N == frame_batch
                 pixels = clip_preprocess(frames, image_size, dtype=dtype)
                 return enc.apply({"params": params}, pixels).astype(jnp.float32)
 
-            return embed
+            return lambda frames: embed(params, frames)
 
         self._teacher_embed = _make_embed(
             teacher, teacher_params, teacher_config.image_size
@@ -87,25 +93,49 @@ class ViMoCLIPPredictor:
             student, student_tower, student_config.image_size
         )
 
+        tfam_params = jax.device_put(tfam_params)
+
         @jax.jit
-        def fuse(rgb_emb, motion_emb, mask_rgb, mask_motion):
+        def fuse(params, rgb_emb, motion_emb, mask_rgb, mask_motion):
             logits = tfam.apply(
-                {"params": tfam_params}, rgb_emb, motion_emb,
+                {"params": params}, rgb_emb, motion_emb,
                 mask_rgb, mask_motion, deterministic=True,
             )
             return jax.nn.sigmoid(logits)
 
-        self._fuse = fuse
+        self._fuse = lambda *a: fuse(tfam_params, *a)
 
     # ------------------------------------------------------------------
-    def _embed_frames(self, embed_fn, frames: np.ndarray) -> np.ndarray:
-        """Batch arbitrary-length frame stacks through a fixed-shape program."""
-        return embed_in_fixed_batches(embed_fn, frames, self.frame_batch, 512)
+    def _embed_frames(self, embed_fn, frames) -> np.ndarray:
+        """Batch arbitrary-length frame stacks through a fixed-shape program.
+
+        ``frames`` may be host numpy OR a device array: chunking/padding use
+        jnp ops that stay on the frames' device, so device-resident inputs
+        never bounce through the host (only the (N, 512) embeddings do).
+        """
+        n = frames.shape[0]
+        bs = self.frame_batch
+        frames = jnp.asarray(frames)
+        out = []
+        for i in range(0, n, bs):
+            chunk = frames[i : i + bs]
+            m = chunk.shape[0]
+            if m < bs:  # pad the tail chunk so XLA keeps one compiled shape
+                chunk = jnp.pad(chunk, ((0, bs - m), (0, 0), (0, 0), (0, 0)))
+            out.append(np.asarray(embed_fn(chunk))[:m])
+        return np.concatenate(out) if out else np.zeros((0, 512), np.float32)
 
     def embed_video(self, frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(T, H, W, 3) uint8 -> (rgb_emb (T, D), motion_emb (T-1, D))."""
-        rgb_emb = self._embed_frames(self._teacher_embed, frames)
-        motion = np.asarray(frame_diff(jnp.asarray(frames)))
+        """(T, H, W, 3) uint8 -> (rgb_emb (T, D), motion_emb (T-1, D)).
+
+        The raw frames cross host->device ONCE; the frame-diff motion
+        modality is computed and consumed on device (round-tripping it
+        through the host would triple the interconnect traffic — the
+        frames dwarf everything else that moves).
+        """
+        dev_frames = jnp.asarray(frames)
+        rgb_emb = self._embed_frames(self._teacher_embed, dev_frames)
+        motion = frame_diff(dev_frames)  # stays on device
         motion_emb = self._embed_frames(self._student_embed, motion)
         return rgb_emb, motion_emb
 
@@ -162,9 +192,9 @@ class ViMoCLIPPredictor:
         batches, and the fusion step runs once over the padded batch."""
         embs = []
         for path in video_paths:
-            frames = read_video(path, max_frames=max_frames)
+            frames = jnp.asarray(read_video(path, max_frames=max_frames))
             rgb = self._embed_frames(self._teacher_embed, frames)
-            motion = np.asarray(frame_diff(jnp.asarray(frames)))
+            motion = frame_diff(frames)  # stays on device
             embs.append((rgb, self._embed_frames(self._student_embed, motion)))
 
         t_r = round_up_bucket(max(len(r) for r, _ in embs),
