@@ -292,3 +292,30 @@ def test_flash_attention_sharded_gradients_match(mesh8):
     for a, b_ in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_flash_attention_block_size_validation():
+    q, k, v = _qkv(32, b=1, h=1, tq=16, tk=16, d=16)
+    with pytest.raises(ValueError, match="128"):
+        flash_attention(q, k, v, block_q=64, interpret=True)
+    with pytest.raises(ValueError, match="128"):
+        flash_attention(q, k, v, block_k=200, interpret=True)
+
+
+def test_dropout_seed_expansion_decorrelates_consecutive_seeds():
+    """Scalar seeds s and s+1 must not share any (seed value, tile) PRNG
+    stream — the golden-ratio expansion separates them by ~2.6e9 slots.
+    Verified on the expanded seed VALUES (backend-independent)."""
+    import vimoclip_tpu.ops.pallas.flash_attention as fa
+
+    b, h = 4, 8
+    gold = np.int32(-1640531527)
+    with np.errstate(over="ignore"):  # int32 wraparound is the point
+        for s in (0, 1, 123456):
+            a = (np.int32(s) * gold + np.arange(b * h, dtype=np.int32)).reshape(-1)
+            bb = (np.int32(s + 1) * gold + np.arange(b * h, dtype=np.int32)).reshape(-1)
+            assert not set(a.tolist()) & set(bb.tolist())
+        # (B,) per-row seeds one apart must also not collide across rows
+        rows = np.arange(b, dtype=np.int32)
+        expanded = rows[:, None] * gold + np.arange(h, dtype=np.int32)[None, :]
+        assert len(set(expanded.reshape(-1).tolist())) == b * h

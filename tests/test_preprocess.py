@@ -179,3 +179,22 @@ def test_thin_dropout_gradient_matches_mask():
     # gradient is the same scaled mask applied to ones
     ref = np.asarray(thin_dropout(jnp.ones_like(x), 0.3, key))
     np.testing.assert_allclose(np.asarray(gx), ref, rtol=1e-6)
+
+
+def test_thin_dropout_edge_rates():
+    from vimoclip_tpu.ops.dropout import thin_dropout
+
+    x = jnp.ones((32, 32), jnp.float32)
+    key = jax.random.key(0)
+    # rate=1.0 -> all zeros (flax semantics), never x256 amplification
+    np.testing.assert_array_equal(
+        np.asarray(thin_dropout(x, 1.0, key)), np.zeros((32, 32), np.float32)
+    )
+    # rate below the 1/512 quantum -> exact no-op
+    np.testing.assert_array_equal(
+        np.asarray(thin_dropout(x, 1e-4, key)), np.asarray(x)
+    )
+    with pytest.raises(ValueError, match="rate"):
+        thin_dropout(x, 1.5, key)
+    with pytest.raises(ValueError, match="rate"):
+        thin_dropout(x, -0.1, key)

@@ -118,3 +118,24 @@ def test_predict_batch_matches_single_for_longest(predictor, video, tmp_path):
                                rtol=1e-4, atol=1e-5)
     assert not np.allclose(batch[1].probabilities, singles[1].probabilities,
                            atol=1e-5)
+
+
+def test_windowed_embed_video_matches_whole_video(predictor):
+    """The streamed window path (frame_batch-sized uploads, on-device diff
+    with a 1-frame overlap) must produce exactly the embeddings of the
+    naive whole-video computation, for lengths around every boundary:
+    multiple of the window, one over, one under."""
+    from vimoclip_tpu.ops.preprocess import frame_diff
+
+    rng = np.random.default_rng(3)
+    for t in (7, 8, 9, 16, 17):
+        frames = rng.integers(0, 256, (t, 36, 48, 3), dtype=np.uint8)
+        rgb_emb, motion_emb = predictor.embed_video(frames)
+        assert rgb_emb.shape[0] == t
+        assert motion_emb.shape[0] == t - 1
+        ref_rgb = predictor._embed_frames(predictor._teacher_embed, frames)
+        ref_mot = predictor._embed_frames(
+            predictor._student_embed, np.asarray(frame_diff(jnp.asarray(frames)))
+        )
+        np.testing.assert_array_equal(rgb_emb, ref_rgb)
+        np.testing.assert_array_equal(motion_emb, ref_mot)

@@ -80,9 +80,10 @@ class DataConfig:
     # Optional hard cap on padded sequence length (videos beyond it are
     # TRUNCATED). None = reference semantics: pad to the batch max with no
     # cap (TFAM/data/dataset.py:86-103). The default attention_impl="auto"
-    # keeps attention memory linear in T (flash kernel from t>=4096), so
-    # long clips no longer need a guard; set a cap only to bound the XLA
-    # attention path's (T, T) scores or pathological inputs.
+    # keeps attention memory linear in T on TPU (flash kernel from t>=2048
+    # eval / t>=256 dropout-training), so long clips need no guard there;
+    # set a cap for attention_impl="xla" runs or off-TPU (CPU) runs, where
+    # the (T, T) score tensor grows quadratically.
     max_seq_len: int | None = None
 
     @property
@@ -107,7 +108,7 @@ class TFAMModelConfig:
     masked_pooling: bool = False  # reference pools over pads (AMO_CLIP.py:170)
     # Attention implementation: "auto" picks the measured winner per shape on
     # TPU — the Pallas online-softmax kernel with FUSED on-chip-PRNG dropout
-    # for training steps (t>=256) and long sequences (t>=4096), XLA elsewhere
+    # for training steps (t>=256) and long sequences (t>=2048), XLA elsewhere
     # (docs/PERF.md crossover table). "xla" pins reference numerics
     # everywhere; "flash" forces the kernel. Like dropout_rng_impl, only the
     # dropout BIT STREAM differs between impls — weights/logits numerics are

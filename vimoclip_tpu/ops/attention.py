@@ -97,10 +97,12 @@ class MultiHeadAttention(nn.Module):
     # Measured on the v5e chip (docs/PERF.md "flash vs XLA crossover"):
     # with dropout active the fused-PRNG kernel wins from t=256 (and wins
     # the full TFAM train step at t=512: 9.65 vs 10.92 ms); without dropout
-    # the two tie until the (T, T) score tensor dominates HBM around t=4k —
-    # at t=8192 flash is 2.1x faster and at t=16384 XLA fails to compile.
+    # flash edges ahead from t=2048 (4.06 vs 4.30 ms) and the gap widens as
+    # the (T, T) score tensor dominates XLA's HBM traffic — 2.1x at t=8192,
+    # and at t=16384 XLA fails to compile outright. The 2048 threshold also
+    # bounds attention MEMORY: past it nothing (T, T)-shaped exists.
     _AUTO_FLASH_MIN_T_DROPOUT = 256
-    _AUTO_FLASH_MIN_T_NODROP = 4096
+    _AUTO_FLASH_MIN_T_NODROP = 2048
 
     @nn.compact
     def __call__(

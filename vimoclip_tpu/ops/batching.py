@@ -27,17 +27,27 @@ def pad_to_batch(arr: np.ndarray, batch_size: int) -> np.ndarray:
 
 
 def embed_in_fixed_batches(
-    embed_fn, frames: np.ndarray, batch_size: int, out_dim: int
+    embed_fn, frames, batch_size: int, out_dim: int
 ) -> np.ndarray:
     """Run ``embed_fn`` (a jit program over exactly ``batch_size`` frames)
-    over an arbitrary-length frame stack; returns (len(frames), out_dim)."""
+    over an arbitrary-length frame stack; returns (len(frames), out_dim).
+
+    ``frames`` may be host numpy OR a device array: chunking and tail
+    padding use jnp ops that execute on the frames' device, so
+    device-resident inputs never bounce through the host (only the small
+    embeddings do)."""
     import jax.numpy as jnp
 
+    frames = jnp.asarray(frames)
     out = []
-    for i in range(0, len(frames), batch_size):
+    for i in range(0, frames.shape[0], batch_size):
         chunk = frames[i : i + batch_size]
-        n = len(chunk)
-        out.append(np.asarray(embed_fn(jnp.asarray(pad_to_batch(chunk, batch_size))))[:n])
+        n = chunk.shape[0]
+        if n < batch_size:  # pad the tail so XLA keeps one compiled shape
+            chunk = jnp.pad(
+                chunk, ((0, batch_size - n),) + ((0, 0),) * (chunk.ndim - 1)
+            )
+        out.append(np.asarray(embed_fn(chunk))[:n])
     return (
         np.concatenate(out) if out else np.zeros((0, out_dim), np.float32)
     )

@@ -29,11 +29,21 @@ import jax.numpy as jnp
 def thin_dropout(
     x: jax.Array, rate: float, rng: jax.Array
 ) -> jax.Array:
-    """Functional 8-bit-mask dropout; unbiased (exact quantized rescale)."""
+    """Functional 8-bit-mask dropout; unbiased (exact quantized rescale).
+
+    Quantization rounds to the nearest 1/256 (deviation <= 1/512): rates
+    below ~1/512 become exact no-ops, rates within 1/512 of 1 drop
+    everything (flax ``nn.Dropout(rate=1.0)`` semantics).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"dropout rate must be in [0, 1]; got {rate}")
     if rate <= 0.0:
         return x
     thr = int(round((1.0 - rate) * 256.0))
-    thr = min(max(thr, 1), 255)  # keep in (0, 1) — rate in (0, 1) stays active
+    if thr >= 256:  # rate < 1/512: nearest representable keep-prob is 1
+        return x
+    if thr <= 0:  # rate > 1 - 1/512: nearest representable keep-prob is 0
+        return jnp.zeros_like(x)
     keep_prob = thr / 256.0
     bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
     scaled = x / jnp.asarray(keep_prob, x.dtype)

@@ -81,7 +81,7 @@ def _keep_threshold(dropout_rate: float) -> int:
     return min(2**32 - 1, int(round((1.0 - dropout_rate) * 2.0**32)))
 
 
-def _keep_mask(seed_ref, b, h, qi, ki, nq, nk, shape, threshold):
+def _keep_mask(seed_ref, b, h, qi, ki, nk, shape, threshold):
     """Deterministic per-tile Bernoulli keep mask from the on-chip PRNG.
 
     ``seed_ref`` holds ONE seed PER (batch row, head) (SMEM, local (B, H)):
@@ -103,7 +103,7 @@ def _keep_mask(seed_ref, b, h, qi, ki, nq, nk, shape, threshold):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
-                scale, dropout_rate, nq, nk, with_lse):
+                scale, dropout_rate, nk, with_lse):
     # with_lse=False is the inference-only variant (primal _flash_core
     # path): no (B, H, 8, Tq) lse ever allocated or written — serving/eval
     # forwards pay for exactly the output they use.
@@ -125,7 +125,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
-            keep = _keep_mask(seed_ref, b, h, qi, 0, nq, nk, p.shape,
+            keep = _keep_mask(seed_ref, b, h, qi, 0, nk, p.shape,
                               _keep_threshold(dropout_rate))
             p = jnp.where(keep, p, 0.0)
         o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -150,7 +150,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_scr[:] = m_new
     if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, b, h, qi, ki, nq, nk, p.shape,
+        keep = _keep_mask(seed_ref, b, h, qi, ki, nk, p.shape,
                           _keep_threshold(dropout_rate))
         p = jnp.where(keep, p, 0.0)
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
@@ -173,14 +173,14 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
 
 
 def _recompute_probs(seed_ref, q, k, bias, lse, b, h, qi, ki, *,
-                     scale, dropout_rate, nq, nk):
+                     scale, dropout_rate, nk):
     """(P, keep) for one tile: exact softmax probs from the saved lse, and
     the regenerated dropout keep mask (None when dropout is off)."""
     s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32) + bias
     p = jnp.exp(s - lse[:, None])                    # (bq, bk) f32
     keep = None
     if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, b, h, qi, ki, nq, nk, p.shape,
+        keep = _keep_mask(seed_ref, b, h, qi, ki, nk, p.shape,
                           _keep_threshold(dropout_rate))
     return p, keep
 
@@ -192,7 +192,7 @@ def _recompute_probs(seed_ref, q, k, bias, lse, b, h, qi, ki, *,
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-               delta_ref, dq_ref, *, scale, dropout_rate, nq, nk):
+               delta_ref, dq_ref, *, scale, dropout_rate, nk):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -200,7 +200,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     do = do_ref[0, 0]                                # (bq, d)
     p, keep = _recompute_probs(
         seed_ref, q, k, bias_ref[0], lse_ref[0, 0, 0], b, h, qi, ki,
-        scale=scale, dropout_rate=dropout_rate, nq=nq, nk=nk,
+        scale=scale, dropout_rate=dropout_rate, nk=nk,
     )
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     if keep is not None:
@@ -220,7 +220,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                delta_ref, dk_ref, dv_ref, *, scale, dropout_rate, nq, nk):
+                delta_ref, dk_ref, dv_ref, *, scale, dropout_rate, nk):
     # NOTE the grid here is (B, H, nK, nQ): qi is the INNERMOST dimension so
     # dk/dv output blocks stay resident while q tiles sweep past.
     b, h, ki, qi = (pl.program_id(i) for i in range(4))
@@ -229,7 +229,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     do = do_ref[0, 0]
     p, keep = _recompute_probs(
         seed_ref, q, k_ref[0, 0], bias_ref[0], lse_ref[0, 0, 0], b, h, qi, ki,
-        scale=scale, dropout_rate=dropout_rate, nq=nq, nk=nk,
+        scale=scale, dropout_rate=dropout_rate, nk=nk,
     )
     if keep is not None:
         pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
@@ -257,7 +257,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 def _dqkv_single_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                         lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, *,
-                        scale, dropout_rate, nq, nk):
+                        scale, dropout_rate, nk):
     """Combined backward for nk == 1 (whole K in one tile — the TFAM train
     shapes): one score recompute yields dq, dk AND dv, halving backward
     recompute FLOPs and kernel dispatches vs the two-sweep path.
@@ -269,7 +269,7 @@ def _dqkv_single_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     do = do_ref[0, 0]
     p, keep = _recompute_probs(
         seed_ref, q, k, bias_ref[0], lse_ref[0, 0, 0], b, h, qi, 0,
-        scale=scale, dropout_rate=dropout_rate, nq=nq, nk=nk,
+        scale=scale, dropout_rate=dropout_rate, nk=nk,
     )
     if keep is not None:
         pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
@@ -349,7 +349,7 @@ def _fwd_local(q, k, v, bias, seed, dropout_rate, block_q, block_k,
         out_shape.append(jax.ShapeDtypeStruct((b, h, 8, tq), jnp.float32))
     res = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
-                          dropout_rate=dropout_rate, nq=nq, nk=nk,
+                          dropout_rate=dropout_rate, nk=nk,
                           with_lse=need_lse),
         grid=(b, h, nq, nk),
         in_specs=[
@@ -394,7 +394,7 @@ def _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
         # gradients from ONE score recompute (the TFAM t<=512 train shapes)
         dq, dk, dv = pl.pallas_call(
             functools.partial(_dqkv_single_kernel, scale=scale,
-                              dropout_rate=dropout_rate, nq=nq, nk=nk),
+                              dropout_rate=dropout_rate, nk=nk),
             grid=(b, h, nq),
             in_specs=[
                 seed_spec,
@@ -426,7 +426,7 @@ def _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, dropout_rate=dropout_rate,
-                          nq=nq, nk=nk),
+                          nk=nk),
         grid=(b, h, nq, nk),
         in_specs=[
             seed_spec,
@@ -452,7 +452,7 @@ def _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale,
-                          dropout_rate=dropout_rate, nq=nq, nk=nk),
+                          dropout_rate=dropout_rate, nk=nk),
         grid=(b, h, nk, nq),
         in_specs=[
             seed_spec,
@@ -746,6 +746,11 @@ def flash_attention(
     # largest 128-multiples <= block_q/block_k that DIVIDE the 128-rounded
     # lengths, so no further length padding is ever added (tq=520 runs as
     # 640 = 5 x 128-tiles, not rounded up to one 1024 block).
+    if block_q % 128 or block_k % 128 or block_q < 128 or block_k < 128:
+        raise ValueError(
+            f"block_q/block_k must be multiples of 128 (got {block_q}, "
+            f"{block_k}) — TPU tiles are 128-lane"
+        )
     tq_p = _round_up(tq, 128)
     tk_p = _round_up(tk, 128)
     bq = _largest_dividing_block(tq_p, block_q)
@@ -771,13 +776,19 @@ def flash_attention(
     if dropout_seed is None:
         seed = jnp.zeros((b, h), jnp.int32)
     else:
+        # Expansion multiplies the user seed by an odd constant (int32
+        # wraparound) before adding slot indices, so CONSECUTIVE scalar
+        # seeds (a step counter is natural API usage) land ~2.6e9 apart
+        # and never reuse another step's (seed value, tile) pairs — a
+        # plain `seed + arange` made seeds s and s+1 share b*h-1 streams.
+        gold = jnp.int32(-1640531527)  # 0x9E3779B9 as int32
         seed = jnp.asarray(dropout_seed, jnp.int32)
         if seed.size == 1:
-            seed = seed.reshape(()) + jnp.arange(
+            seed = seed.reshape(()) * gold + jnp.arange(
                 b * h, dtype=jnp.int32
             ).reshape(b, h)
         elif seed.shape == (b,):
-            seed = seed[:, None] + jnp.arange(h, dtype=jnp.int32)[None, :]
+            seed = seed[:, None] * gold + jnp.arange(h, dtype=jnp.int32)[None, :]
         elif seed.shape != (b, h):
             raise ValueError(
                 f"dropout_seed must be scalar, (B,), or (B, H); got "

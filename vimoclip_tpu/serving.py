@@ -31,7 +31,7 @@ from vimoclip_tpu.config import TFAMModelConfig
 from vimoclip_tpu.data.video_reader import read_video
 from vimoclip_tpu.models import TFAM
 from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
-from vimoclip_tpu.ops.batching import round_up_bucket
+from vimoclip_tpu.ops.batching import embed_in_fixed_batches, round_up_bucket
 from vimoclip_tpu.ops.preprocess import clip_preprocess, frame_diff
 
 
@@ -107,36 +107,39 @@ class ViMoCLIPPredictor:
 
     # ------------------------------------------------------------------
     def _embed_frames(self, embed_fn, frames) -> np.ndarray:
-        """Batch arbitrary-length frame stacks through a fixed-shape program.
-
-        ``frames`` may be host numpy OR a device array: chunking/padding use
-        jnp ops that stay on the frames' device, so device-resident inputs
-        never bounce through the host (only the (N, 512) embeddings do).
-        """
-        n = frames.shape[0]
-        bs = self.frame_batch
-        frames = jnp.asarray(frames)
-        out = []
-        for i in range(0, n, bs):
-            chunk = frames[i : i + bs]
-            m = chunk.shape[0]
-            if m < bs:  # pad the tail chunk so XLA keeps one compiled shape
-                chunk = jnp.pad(chunk, ((0, bs - m), (0, 0), (0, 0), (0, 0)))
-            out.append(np.asarray(embed_fn(chunk))[:m])
-        return np.concatenate(out) if out else np.zeros((0, 512), np.float32)
+        """Batch arbitrary-length frame stacks through a fixed-shape program
+        (host numpy or device arrays; device inputs never bounce through
+        the host — see ops.batching)."""
+        return embed_in_fixed_batches(embed_fn, frames, self.frame_batch, 512)
 
     def embed_video(self, frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(T, H, W, 3) uint8 -> (rgb_emb (T, D), motion_emb (T-1, D)).
 
-        The raw frames cross host->device ONCE; the frame-diff motion
-        modality is computed and consumed on device (round-tripping it
-        through the host would triple the interconnect traffic — the
-        frames dwarf everything else that moves).
+        Streams ``frame_batch``-frame windows (one frame of overlap so the
+        on-device frame-diff covers window boundaries): every raw frame
+        crosses host->device ONCE — round-tripping the diff frames through
+        the host would triple the interconnect traffic for the dominant
+        payload — and device residency stays bounded by one window
+        (~90 MB at 128 x 360x640) no matter how long the video is.
         """
-        dev_frames = jnp.asarray(frames)
-        rgb_emb = self._embed_frames(self._teacher_embed, dev_frames)
-        motion = frame_diff(dev_frames)  # stays on device
-        motion_emb = self._embed_frames(self._student_embed, motion)
+        bs = self.frame_batch
+        t = frames.shape[0]
+        rgb_out: list[np.ndarray] = []
+        mot_out: list[np.ndarray] = []
+        for i in range(0, t, bs):
+            window = jnp.asarray(frames[i : i + bs + 1])  # the one upload
+            m = window.shape[0]
+            rgb_out.append(
+                self._embed_frames(self._teacher_embed, window[: min(bs, m)])
+            )
+            if m >= 2:
+                # (m-1) diffs, computed and consumed on device
+                mot_out.append(
+                    self._embed_frames(self._student_embed, frame_diff(window))
+                )
+        empty = np.zeros((0, 512), np.float32)
+        rgb_emb = np.concatenate(rgb_out) if rgb_out else empty
+        motion_emb = np.concatenate(mot_out) if mot_out else empty
         return rgb_emb, motion_emb
 
     def predict_embeddings(
@@ -192,10 +195,8 @@ class ViMoCLIPPredictor:
         batches, and the fusion step runs once over the padded batch."""
         embs = []
         for path in video_paths:
-            frames = jnp.asarray(read_video(path, max_frames=max_frames))
-            rgb = self._embed_frames(self._teacher_embed, frames)
-            motion = frame_diff(frames)  # stays on device
-            embs.append((rgb, self._embed_frames(self._student_embed, motion)))
+            frames = read_video(path, max_frames=max_frames)
+            embs.append(self.embed_video(frames))
 
         t_r = round_up_bucket(max(len(r) for r, _ in embs),
                               self.length_bucket, self.max_seq_len)
