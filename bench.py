@@ -90,6 +90,10 @@ def bench_extraction(jax, jnp):
         pixels = clip_preprocess(raw, cfg.image_size, dtype=jnp.bfloat16)
         return enc.apply({"params": params}, pixels)
 
+    # Data enters as jit ARGUMENTS everywhere in this file — closed-over
+    # arrays become program constants, and at these sizes (hundreds of MB
+    # of frames) that bloats executables and trips remote-compile upload
+    # limits (HTTP 413 observed at ~300 MB on this rig).
     @jax.jit
     def timed(params, raw):
         # The body must depend on the iteration index — with identical
@@ -175,7 +179,7 @@ def bench_tfam_train(jax, jnp):
     opt = tx.init(params)
 
     @jax.jit
-    def timed(params, opt, key):
+    def timed(params, opt, key, rgb, motion, mr, mf, labels):
         def body(carry, i):
             p, o = carry
 
@@ -198,8 +202,9 @@ def bench_tfam_train(jax, jnp):
     # .dropout_rng_impl): threefry attention-dropout masks alone cost
     # ~12 ms/step at t512 (measured), rbg ~2 ms.
     key = jax.random.key(1, impl="rbg")
-    float(timed(params, opt, key))  # compile + warm
-    best = _best_of(lambda: float(timed(params, opt, key)))
+    args = (params, opt, key, rgb, motion, mr, mf, labels)
+    float(timed(*args))  # compile + warm
+    best = _best_of(lambda: float(timed(*args)))
     ms = best / iters * 1e3
     fwd = b * _transformer_flops(t, d, ff, layers, cross=True)
     step_flops = 3 * fwd  # fwd + bwd ~= 3x fwd true FLOPs
@@ -238,7 +243,7 @@ def bench_student_train(jax, jnp):
     opt = tx.init(params)
 
     @jax.jit
-    def timed(params, opt):
+    def timed(params, opt, frames, teacher, labels):
         def body(carry, i):
             p, o = carry
 
@@ -255,8 +260,9 @@ def bench_student_train(jax, jnp):
         (_, _), ls = jax.lax.scan(body, (params, opt), jnp.arange(iters))
         return jnp.sum(ls)
 
-    float(timed(params, opt))  # compile + warm
-    best = _best_of(lambda: float(timed(params, opt)))
+    args = (params, opt, frames, teacher, labels)
+    float(timed(*args))  # compile + warm
+    best = _best_of(lambda: float(timed(*args)))
     ms = best / iters * 1e3
     tokens = (224 // 32) ** 2 + 1  # ViT-B/32 @ 224
     fwd = b * t * _transformer_flops(tokens, 768, 3072, 12, cross=False)
