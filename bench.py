@@ -131,12 +131,19 @@ def bench_extraction(jax, jnp):
 
         warm = jnp.zeros((n_base, 224, 224, 3), jnp.float32)
         float(fwd_sum(params, warm))
-        t0 = time.perf_counter()
-        pixels = proc(images=list(frames[:n_base]), return_tensors="np")[
-            "pixel_values"
-        ].transpose(0, 2, 3, 1)
-        float(fwd_sum(params, jnp.asarray(pixels)))
-        ref_fps = n_base / (time.perf_counter() - t0)
+
+        def one_baseline_round() -> float:
+            t0 = time.perf_counter()
+            pixels = proc(images=list(frames[:n_base]), return_tensors="np")[
+                "pixel_values"
+            ].transpose(0, 2, 3, 1)
+            float(fwd_sum(params, jnp.asarray(pixels)))
+            return time.perf_counter() - t0
+
+        # best-of-3 like every other number here — a single PIL pass on the
+        # shared 1-core host is noisy and it sits in the headline's
+        # denominator (vs_baseline)
+        ref_fps = n_base / min(one_baseline_round() for _ in range(3))
     except Exception:
         ref_fps = float("nan")
 

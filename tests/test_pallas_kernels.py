@@ -319,3 +319,30 @@ def test_dropout_seed_expansion_decorrelates_consecutive_seeds():
         rows = np.arange(b, dtype=np.int32)
         expanded = rows[:, None] * gold + np.arange(h, dtype=np.int32)[None, :]
         assert len(set(expanded.reshape(-1).tolist())) == b * h
+
+
+def test_flash_attention_head_dim_128():
+    """d_head=128 (full MXU lane width — larger models than the reference's
+    64): fwd and grads exact vs XLA."""
+    q, k, v = _qkv(33, b=1, h=2, tq=160, tk=140, d=128)
+    ignore = jnp.asarray(np.arange(140)[None, :] >= 130)
+    ref = dot_product_attention(q, k, v, key_padding_mask=ignore)
+    got = flash_attention(q, k, v, key_padding_mask=ignore,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(
+            dot_product_attention(*a, key_padding_mask=ignore))),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_got = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(flash_attention(
+            *a, key_padding_mask=ignore, block_q=128, block_k=128,
+            interpret=True))),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
