@@ -346,3 +346,25 @@ def test_flash_attention_head_dim_128():
     for a, b_ in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [40, 41, 42, 43, 44])
+def test_flash_attention_random_shapes(seed):
+    """Randomized shape sweep: odd lengths, uneven tq/tk, varying heads and
+    head dims — every configuration must match XLA exactly (fwd)."""
+    rng = np.random.default_rng(seed)
+    b = int(rng.integers(1, 4))
+    h = int(rng.integers(1, 5))
+    tq = int(rng.integers(1, 400))
+    tk = int(rng.integers(1, 400))
+    d = int(rng.choice([16, 32, 64, 128]))
+    q, k, v = _qkv(seed, b=b, h=h, tq=tq, tk=tk, d=d)
+    lens = rng.integers(1, tk + 1, size=b)
+    ignore = jnp.asarray(np.arange(tk)[None, :] >= lens[:, None])
+    ref = dot_product_attention(q, k, v, key_padding_mask=ignore)
+    got = flash_attention(q, k, v, key_padding_mask=ignore,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5,
+        err_msg=f"b={b} h={h} tq={tq} tk={tk} d={d}",
+    )
