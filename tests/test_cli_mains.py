@@ -71,3 +71,80 @@ def test_train_student_then_export_cli(stage1_fixtures, tmp_path):
         assert len(groups) == 4
         assert f["v0"]["embeddings"].shape[1] == D
         assert f["v0"].attrs["complete"]
+
+
+def test_predict_cli_end_to_end(stage1_fixtures, tmp_path):
+    """vimo-predict: raw video file -> top-k JSON through the full fused
+    cascade, with all three weight sources loaded from disk the way a user
+    would (teacher .pt, student orbax 'best', TFAM orbax 'best')."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from vimoclip_tpu.cli.predict import main as predict_main
+    from vimoclip_tpu.cli.train_student import main as train_main
+    from vimoclip_tpu.config import TFAMModelConfig
+    from vimoclip_tpu.models import TFAM
+    from vimoclip_tpu.train.state import (
+        CheckpointManager, TrainState, make_adamw,
+    )
+
+    h5, vdir, clip_ckpt = stage1_fixtures
+    student_dir = str(tmp_path / "student_ckpt")
+    train_main([
+        "--train-embeddings", h5, "--val-embeddings", h5,
+        "--motion-videos-dir", vdir,
+        "--checkpoint-dir", student_dir, "--log-dir", str(tmp_path / "logs"),
+        "--clip-weights", clip_ckpt,
+        "--epochs", "1", "--batch-size", "2", "--num-workers", "1",
+        "--sequence-length", "5", "--num-classes", "4", "--float32",
+        "--data-parallel", "2", "--model-parallel", "1",
+    ])
+
+    # a trained-looking TFAM 'best' checkpoint (same tree the trainer saves)
+    mcfg = TFAMModelConfig(d_model=D, nhead=2, num_layers=1,
+                           dim_feedforward=32)
+    tfam = TFAM(config=mcfg, num_classes=4)
+    fparams = tfam.init(
+        jax.random.key(5), jnp.zeros((1, 4, D)), jnp.zeros((1, 3, D)),
+        jnp.ones((1, 4), bool), jnp.ones((1, 3), bool),
+    )["params"]
+    tfam_dir = str(tmp_path / "tfam_ckpt")
+    state = TrainState.create(
+        fparams, make_adamw(lambda s: 1e-4, weight_decay=0.1)
+    )
+    CheckpointManager(tfam_dir).save(state, "best")
+
+    names_csv = tmp_path / "classes.csv"
+    names_csv.write_text("0,eat\n1,swim\n2,run\n3,sleep\n")
+    cfg_yaml = tmp_path / "tfam.yaml"
+    cfg_yaml.write_text(yaml.safe_dump({
+        "training": {"lr": "1e-4"},
+        "model": {"d_model": D, "nhead": 2, "num_layers": 1,
+                  "dim_feedforward": 32},
+        "data": {"num_classes": 4, "class_names_dir": str(names_csv),
+                 "length_bucket": 4},
+    }))
+
+    out_json = str(tmp_path / "preds.json")
+    video = os.path.join(vdir, "v0.mp4")
+    predict_main([
+        video,
+        "--teacher-weights", clip_ckpt,
+        "--student-checkpoint-dir", student_dir,
+        "--student-clip-weights", clip_ckpt,
+        "--tfam-config", str(cfg_yaml),
+        "--tfam-checkpoint-dir", tfam_dir,
+        "--top-k", "3", "--output", out_json, "--frame-batch", "8",
+        "--float32",
+    ])
+    results = json.load(open(out_json))
+    assert len(results) == 1
+    preds = results[0]["predictions"]
+    assert len(preds) == 3
+    assert preds[0]["class_name"] in {"eat", "swim", "run", "sleep"}
+    probs = [p["probability"] for p in preds]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    assert probs == sorted(probs, reverse=True)

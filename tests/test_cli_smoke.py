@@ -7,7 +7,8 @@ import pytest
 @pytest.mark.parametrize("module", [
     "extract_embeddings", "train_student", "export_motion_embeddings",
     "tfam_train_eval", "generate_motion", "h5_structure_checker",
-    "run_experiments", "benchmark", "extract_frames",
+    "run_experiments", "benchmark", "extract_frames", "predict",
+    "h5_merge",
 ])
 def test_cli_help(module, capsys):
     import importlib

@@ -1,0 +1,187 @@
+"""Single-command inference: raw video file(s) -> top-k action predictions.
+
+The reference has NO inference path for one video — producing a prediction
+requires manually chaining extract_embeddings.py -> inference*.py ->
+TFAM/train_and_eval*.py through HDF5 files (SURVEY.md §1). This CLI fronts
+``serving.ViMoCLIPPredictor``: the full fused cascade (CLIP teacher +
+on-device frame-diff + MoCLIP student + TFAM fusion) in one process, one
+device pass per frame.
+
+Weights come from:
+- ``--teacher-weights``: CLIP visual tower (safetensors / torch state dict /
+  HF dir; models.pretrained.load_clip_vision),
+- ``--student-checkpoint-dir``: stage-1 CheckpointManager dir (uses 'best'),
+- ``--tfam-checkpoint-dir`` (CheckpointManager 'best') OR
+  ``--tfam-torch-checkpoint`` (a reference-format best_model.pth,
+  TFAM/train_and_eval.py:133-149) with ``--tfam-config`` YAML for geometry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+from vimoclip_tpu.utils.logging import setup_logging
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(
+        description="Predict actions for raw videos (full fused cascade)"
+    )
+    p.add_argument("videos", nargs="+", help="video file(s)")
+    p.add_argument("--teacher-weights", required=True,
+                   help="CLIP visual weights (safetensors/.pt/.pth/HF dir)")
+    p.add_argument("--student-checkpoint-dir", required=True,
+                   help="stage-1 student CheckpointManager dir (uses 'best')")
+    p.add_argument("--student-clip-weights", default=None,
+                   help="vision config source for the student tower "
+                        "(like vimo-export-motion's --clip-weights); "
+                        "default ViT-B/32")
+    p.add_argument("--tfam-config", required=True,
+                   help="stage-2 YAML config (model geometry + class names)")
+    p.add_argument("--tfam-checkpoint-dir", default=None,
+                   help="stage-2 CheckpointManager dir (uses 'best')")
+    p.add_argument("--tfam-torch-checkpoint", default=None,
+                   help="reference-format best_model.pth instead")
+    p.add_argument("--motion-videos-dir", default=None,
+                   help="precomputed motion videos matched by filename; "
+                        "default: on-device frame-diff of the RGB frames")
+    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--output", default=None, help="write predictions JSON here")
+    p.add_argument("--frame-batch", type=int, default=128)
+    p.add_argument("--float32", action="store_true")
+    args = p.parse_args(argv)
+    if (args.tfam_checkpoint_dir is None) == (args.tfam_torch_checkpoint is None):
+        p.error("exactly one of --tfam-checkpoint-dir / "
+                "--tfam-torch-checkpoint is required")
+
+    setup_logging()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from vimoclip_tpu.config import load_experiment_config
+    from vimoclip_tpu.models import TFAM
+    from vimoclip_tpu.models.clip_vit import ClipVisionConfig
+    from vimoclip_tpu.models.pretrained import load_clip_vision
+    from vimoclip_tpu.models.student import StudentModel
+    from vimoclip_tpu.serving import ViMoCLIPPredictor
+    from vimoclip_tpu.train.state import CheckpointManager, TrainState, make_adam
+
+    cfg = load_experiment_config(args.tfam_config)
+
+    teacher_config, teacher_params = load_clip_vision(args.teacher_weights)
+
+    # stage-1 student 'best' (reference: student_best.pth, inference.py:79-87)
+    if args.student_clip_weights:
+        student_config, _ = load_clip_vision(args.student_clip_weights)
+    else:
+        student_config = ClipVisionConfig.vit_b_32()
+    student = StudentModel(vision_config=student_config,
+                           num_classes=cfg.num_classes)
+    dummy = jnp.zeros(
+        (1, 2, student_config.image_size, student_config.image_size, 3),
+        jnp.uint8,
+    )
+    sparams = student.init(jax.random.key(0), dummy)["params"]
+    sstate = TrainState.create(sparams, make_adam(1e-5))
+    sstate, _ = CheckpointManager(args.student_checkpoint_dir).restore(
+        sstate, "best"
+    )
+
+    # stage-2 TFAM 'best' (orbax) or reference torch checkpoint
+    tfam = TFAM(config=cfg.model, num_classes=cfg.num_classes)
+    d = cfg.model.d_model
+    fparams = tfam.init(
+        jax.random.key(1), jnp.zeros((1, 4, d)), jnp.zeros((1, 3, d)),
+        jnp.ones((1, 4), bool), jnp.ones((1, 3), bool),
+    )["params"]
+    if args.tfam_checkpoint_dir:
+        # The restore target must mirror the trainer's saved tree: TFAM
+        # trains with a SCHEDULED AdamW (cosine), whose optax state carries
+        # a schedule-count leaf a float-lr AdamW lacks — so build the
+        # template with a (trivial) callable schedule.
+        from vimoclip_tpu.train.state import make_adamw
+
+        fstate = TrainState.create(
+            fparams,
+            make_adamw(lambda step: cfg.training.lr,
+                       weight_decay=cfg.training.weight_decay),
+        )
+        fstate, _ = CheckpointManager(args.tfam_checkpoint_dir).restore(
+            fstate, "best"
+        )
+        fparams = fstate.params
+    else:
+        import torch
+
+        from vimoclip_tpu.models.torch_compat import (
+            strip_prefix,
+            tfam_params_from_torch,
+        )
+
+        raw = torch.load(args.tfam_torch_checkpoint, map_location="cpu",
+                         weights_only=False)
+        state = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+        state = strip_prefix({k: v.numpy() for k, v in state.items()})
+        fparams = tfam_params_from_torch(
+            state, num_layers=cfg.model.num_layers, d_model=cfg.model.d_model
+        )
+
+    class_names: dict[int, str] = {}
+    path = cfg.data.class_names_dir
+    if path and os.path.exists(path):
+        df = pd.read_csv(path, header=None, names=["id", "name"])
+        class_names = {int(r["id"]): r["name"] for _, r in df.iterrows()}
+
+    predictor = ViMoCLIPPredictor(
+        teacher_params=teacher_params, teacher_config=teacher_config,
+        student_params=sstate.params, student_config=student_config,
+        tfam_params=fparams, tfam_config=cfg.model,
+        num_classes=cfg.num_classes, class_names=class_names,
+        frame_batch=args.frame_batch,
+        length_bucket=cfg.data.length_bucket,
+        max_seq_len=cfg.data.max_seq_len,
+        half_precision=not args.float32,
+    )
+
+    results = []
+    for video in args.videos:
+        motion_path = None
+        if args.motion_videos_dir:
+            stem = os.path.splitext(os.path.basename(video))[0]
+            for ext in (".mp4", ".avi", ".mkv", ".webm"):
+                cand = os.path.join(args.motion_videos_dir, stem + ext)
+                if os.path.exists(cand):
+                    motion_path = cand
+                    break
+        pred = predictor.predict(
+            video, motion_video_path=motion_path,
+            top_k=args.top_k, max_frames=args.max_frames,
+        )
+        record = {
+            "video": video,
+            "predictions": [
+                {"class_id": cid, "class_name": name,
+                 "probability": round(prob, 4)}
+                for cid, name, prob in pred.top_classes
+            ],
+        }
+        results.append(record)
+        top = pred.top_classes[0]
+        logging.info("%s -> %s (p=%.3f)", video, top[1], top[2])
+        for cid, name, prob in pred.top_classes:
+            print(f"  {name:<30s} {prob:.4f}")
+
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+        logging.info("predictions written to %s", args.output)
+
+
+if __name__ == "__main__":
+    main()
