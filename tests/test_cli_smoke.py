@@ -18,3 +18,16 @@ def test_cli_help(module, capsys):
         cli.main(["--help"])
     assert exc.value.code == 0
     assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    target = str(tmp_path / "cache")
+    monkeypatch.setenv("VIMO_JAX_CACHE_DIR", target)
+    assert enable_compilation_cache() == target
+    import os
+    assert os.path.isdir(target)
+
+    monkeypatch.setenv("VIMO_JAX_CACHE", "0")
+    assert enable_compilation_cache() is None

@@ -303,3 +303,27 @@ model:
     assert results["videos"][0]["predictions"]
     some_name = next(iter(results["videos"][0]["predictions"].values()))
     assert some_name["class_name"].startswith("cls")
+
+    # --- final leg: vimo-predict serves a raw video with the artifacts the
+    # cascade just trained (teacher weights file + student 'best' + TFAM
+    # 'best') — the complete user journey ends at a prediction ---
+    from vimoclip_tpu.cli.predict import main as predict_main
+
+    best_dirs = sorted(tmp_path.glob("**/checkpoints/**/best"))
+    assert best_dirs, "tfam run left no best checkpoint"
+    tfam_ckpt_dir = str(best_dirs[-1].parent)
+    preds_json = str(tmp_path / "serve_preds.json")
+    predict_main([
+        str(root / names[0]),
+        "--teacher-weights", clip_ckpt,
+        "--student-checkpoint-dir", ckpt_dir,
+        "--student-clip-weights", clip_ckpt,
+        "--tfam-config", str(cfg),
+        "--tfam-checkpoint-dir", tfam_ckpt_dir,
+        "--top-k", str(C), "--output", preds_json,
+        "--frame-batch", "8", "--float32",
+    ])
+    served = json.load(open(preds_json))
+    probs = [p["probability"] for p in served[0]["predictions"]]
+    assert len(probs) == C and all(0.0 <= p <= 1.0 for p in probs)
+    assert served[0]["predictions"][0]["class_name"].startswith("cls")

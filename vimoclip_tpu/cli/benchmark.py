@@ -180,6 +180,9 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     setup_logging()
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     report: dict = {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
 
     if args.videos_dir:

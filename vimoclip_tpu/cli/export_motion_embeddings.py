@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     setup_logging()
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from vimoclip_tpu.export import MotionEmbeddingExporter, find_motion_videos

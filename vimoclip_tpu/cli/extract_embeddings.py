@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     setup_logging()
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     from vimoclip_tpu.extraction import create_hdf5_dataset
     from vimoclip_tpu.models.pretrained import load_clip_vision
 

@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     setup_logging()
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     from vimoclip_tpu.motion import load_flow_backend, process_video_list
 
     flow_fn = None

@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> None:
                 "--tfam-torch-checkpoint is required")
 
     setup_logging()
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -139,6 +139,9 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     setup_logging()
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.cmd == "generate":
         overrides = {}
         if args.train_h5:

@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> None:
     config = load_experiment_config(args.config)
     set_seed(config.training.seed)
     setup_logging()
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     log_dir, ckpt_dir = derive_run_dirs(config, args.run_name)
     logging.info("run dirs: logs=%s checkpoints=%s", log_dir, ckpt_dir)
 

@@ -55,6 +55,9 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     setup_logging()
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     from vimoclip_tpu.data.segment_dataset import SegmentDataset
     from vimoclip_tpu.models.clip_vit import ClipVisionConfig
     from vimoclip_tpu.train.student_trainer import StudentTrainer
