@@ -507,3 +507,18 @@ def test_merge_with_empty_shard_preserves_order(corpus, params, tmp_path):
     with h5py.File(whole, "r") as fw, h5py.File(merged, "r") as fm:
         assert list(fm["video_ids"].asstr()[:]) == \
             list(fw["video_ids"].asstr()[:])
+
+
+def test_load_class_names_headered_and_headerless(tmp_path):
+    """The reference reads class_names_dir with header=None
+    (train_and_eval.py:183) even though ak_action.csv has a header;
+    load_class_names parses both layouts to the same mapping."""
+    from vimoclip_tpu.extraction import load_class_names
+
+    headered = tmp_path / "a.csv"
+    headered.write_text("id,name\n0,eat\n1,swim\n")
+    headerless = tmp_path / "b.csv"
+    headerless.write_text("0,eat\n1,swim\n")
+    expect = {0: "eat", 1: "swim"}
+    assert load_class_names(str(headered)) == expect
+    assert load_class_names(str(headerless)) == expect

@@ -304,21 +304,25 @@ def test_flash_attention_block_size_validation():
 
 def test_dropout_seed_expansion_decorrelates_consecutive_seeds():
     """Scalar seeds s and s+1 must not share any (seed value, tile) PRNG
-    stream — the golden-ratio expansion separates them by ~2.6e9 slots.
-    Verified on the expanded seed VALUES (backend-independent)."""
-    import vimoclip_tpu.ops.pallas.flash_attention as fa
+    stream — asserted against the IMPLEMENTATION's expansion
+    (flash_attention._expand_seed), so a regression to plain seed+arange
+    fails here."""
+    from vimoclip_tpu.ops.pallas.flash_attention import _expand_seed
 
     b, h = 4, 8
-    gold = np.int32(-1640531527)
-    with np.errstate(over="ignore"):  # int32 wraparound is the point
-        for s in (0, 1, 123456):
-            a = (np.int32(s) * gold + np.arange(b * h, dtype=np.int32)).reshape(-1)
-            bb = (np.int32(s + 1) * gold + np.arange(b * h, dtype=np.int32)).reshape(-1)
-            assert not set(a.tolist()) & set(bb.tolist())
-        # (B,) per-row seeds one apart must also not collide across rows
-        rows = np.arange(b, dtype=np.int32)
-        expanded = rows[:, None] * gold + np.arange(h, dtype=np.int32)[None, :]
-        assert len(set(expanded.reshape(-1).tolist())) == b * h
+    for s in (0, 1, 123456):
+        a = np.asarray(_expand_seed(jnp.int32(s), b, h)).reshape(-1)
+        bb = np.asarray(_expand_seed(jnp.int32(s + 1), b, h)).reshape(-1)
+        assert not set(a.tolist()) & set(bb.tolist()), s
+    # (B,) per-row seeds one apart must also not collide across rows
+    rows = jnp.arange(b, dtype=jnp.int32)
+    expanded = np.asarray(_expand_seed(rows, b, h))
+    assert expanded.shape == (b, h)
+    assert len(set(expanded.reshape(-1).tolist())) == b * h
+    # (B, H) passes through untouched
+    full = jnp.arange(b * h, dtype=jnp.int32).reshape(b, h)
+    np.testing.assert_array_equal(np.asarray(_expand_seed(full, b, h)),
+                                  np.asarray(full))
 
 
 def test_flash_attention_head_dim_128():

@@ -157,3 +157,39 @@ def test_default_data_config_has_no_seq_cap():
     batch = collate_pad(items, bucket=128, max_seq_len=None)
     assert batch["embeddings"].shape[1] == 2176  # 2100 rounded to bucket
     assert batch["mask_rgb"][0].sum() == 2100  # nothing truncated
+
+
+def test_checkpoint_restores_across_grad_clip_settings(tmp_path):
+    """make_adam/make_adamw keep the optax chain structure invariant to
+    grad_clip (identity stands in), so tools that don't know the training
+    flags (vimo-predict, vimo-export-motion) can always build a matching
+    restore template."""
+    import jax
+    import jax.numpy as jnp
+
+    from vimoclip_tpu.train.state import (
+        CheckpointManager, TrainState, make_adam, make_adamw,
+    )
+
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros(3)}
+    # save WITH clipping, restore into a template WITHOUT (and vice versa)
+    saved = TrainState.create(params, make_adam(1e-3, grad_clip=1.0))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(saved, "best")
+    template = TrainState.create(
+        jax.tree.map(jnp.zeros_like, params), make_adam(1e-3)
+    )
+    restored, _ = mgr.restore(template, "best")
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.ones((3, 3)))
+
+    saved2 = TrainState.create(params, make_adamw(lambda s: 1e-4))
+    mgr2 = CheckpointManager(str(tmp_path / "ck2"))
+    mgr2.save(saved2, "best")
+    template2 = TrainState.create(
+        jax.tree.map(jnp.zeros_like, params),
+        make_adamw(lambda s: 1e-4, grad_clip=5.0),
+    )
+    restored2, _ = mgr2.restore(template2, "best")
+    np.testing.assert_array_equal(np.asarray(restored2.params["w"]),
+                                  np.ones((3, 3)))

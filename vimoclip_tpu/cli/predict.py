@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--motion-videos-dir", default=None,
                    help="precomputed motion videos matched by filename; "
                         "default: on-device frame-diff of the RGB frames")
+    p.add_argument("--student-num-classes", type=int, default=None,
+                   help="classifier width the stage-1 checkpoint was "
+                        "trained with (restore target must match the "
+                        "stored tree; default: the TFAM config's "
+                        "num_classes)")
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--output", default=None, help="write predictions JSON here")
@@ -64,8 +69,6 @@ def main(argv: list[str] | None = None) -> None:
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
-    import numpy as np
-    import pandas as pd
 
     from vimoclip_tpu.config import load_experiment_config
     from vimoclip_tpu.models import TFAM
@@ -84,8 +87,10 @@ def main(argv: list[str] | None = None) -> None:
         student_config, _ = load_clip_vision(args.student_clip_weights)
     else:
         student_config = ClipVisionConfig.vit_b_32()
-    student = StudentModel(vision_config=student_config,
-                           num_classes=cfg.num_classes)
+    student = StudentModel(
+        vision_config=student_config,
+        num_classes=args.student_num_classes or cfg.num_classes,
+    )
     dummy = jnp.zeros(
         (1, 2, student_config.image_size, student_config.image_size, 3),
         jnp.uint8,
@@ -97,13 +102,13 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     # stage-2 TFAM 'best' (orbax) or reference torch checkpoint
-    tfam = TFAM(config=cfg.model, num_classes=cfg.num_classes)
-    d = cfg.model.d_model
-    fparams = tfam.init(
-        jax.random.key(1), jnp.zeros((1, 4, d)), jnp.zeros((1, 3, d)),
-        jnp.ones((1, 4), bool), jnp.ones((1, 3), bool),
-    )["params"]
     if args.tfam_checkpoint_dir:
+        tfam = TFAM(config=cfg.model, num_classes=cfg.num_classes)
+        d = cfg.model.d_model
+        fparams = tfam.init(
+            jax.random.key(1), jnp.zeros((1, 4, d)), jnp.zeros((1, 3, d)),
+            jnp.ones((1, 4), bool), jnp.ones((1, 3), bool),
+        )["params"]
         # The restore target must mirror the trainer's saved tree: TFAM
         # trains with a SCHEDULED AdamW (cosine), whose optax state carries
         # a schedule-count leaf a float-lr AdamW lacks — so build the
@@ -120,26 +125,19 @@ def main(argv: list[str] | None = None) -> None:
         )
         fparams = fstate.params
     else:
-        import torch
+        from vimoclip_tpu.models.torch_compat import tfam_params_from_checkpoint
 
-        from vimoclip_tpu.models.torch_compat import (
-            strip_prefix,
-            tfam_params_from_torch,
-        )
-
-        raw = torch.load(args.tfam_torch_checkpoint, map_location="cpu",
-                         weights_only=False)
-        state = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
-        state = strip_prefix({k: v.numpy() for k, v in state.items()})
-        fparams = tfam_params_from_torch(
-            state, num_layers=cfg.model.num_layers, d_model=cfg.model.d_model
+        fparams = tfam_params_from_checkpoint(
+            args.tfam_torch_checkpoint,
+            num_layers=cfg.model.num_layers, d_model=cfg.model.d_model,
         )
 
     class_names: dict[int, str] = {}
     path = cfg.data.class_names_dir
     if path and os.path.exists(path):
-        df = pd.read_csv(path, header=None, names=["id", "name"])
-        class_names = {int(r["id"]): r["name"] for _, r in df.iterrows()}
+        from vimoclip_tpu.extraction import load_class_names
+
+        class_names = load_class_names(path)
 
     predictor = ViMoCLIPPredictor(
         teacher_params=teacher_params, teacher_config=teacher_config,

@@ -55,6 +55,26 @@ def load_class_map(class_file: str) -> dict[int, str]:
     return {int(r["id"]): r["name"] for _, r in df.iterrows()}
 
 
+def load_class_names(class_file: str) -> dict[int, str]:
+    """Class-name lookup for the stage-2/serving surfaces.
+
+    The reference reads ``class_names_dir`` with ``header=None``
+    (TFAM/train_and_eval.py:183) even though ak_action.csv HAS an
+    ``id,name`` header — the header row just becomes a garbage
+    ``'id' -> 'name'`` entry its string-keyed lookups never hit. With
+    integer keys that row would crash instead, so this reads headerless
+    and SKIPS rows whose id isn't an integer: both headered and headerless
+    files parse to the same mapping."""
+    df = pd.read_csv(class_file, header=None, names=["id", "name"])
+    out: dict[int, str] = {}
+    for _, r in df.iterrows():
+        try:
+            out[int(r["id"])] = str(r["name"])
+        except (TypeError, ValueError):
+            continue  # header row of a headered file
+    return out
+
+
 def multi_hot(labels: list[int], num_classes: int) -> np.ndarray:
     mh = np.zeros(num_classes, dtype=np.float32)
     for l in labels:

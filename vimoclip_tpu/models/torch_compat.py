@@ -61,6 +61,22 @@ def _mha(state, torch_name, embed_dim):
     }
 
 
+def tfam_params_from_checkpoint(
+    path: str, num_layers: int = 4, d_model: int = 512
+) -> dict:
+    """Load a reference-format TFAM checkpoint file (best_model.pth,
+    TFAM/train_and_eval.py:133-149) into Flax params: torch.load ->
+    state-dict unwrap -> prefix strip -> tfam_params_from_torch. Shared by
+    TFAMTester.load_torch_checkpoint and the vimo-predict CLI (torch needed
+    at call time — offline tool path, never the TPU hot loop)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    state = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+    state = strip_prefix({k: v.numpy() for k, v in state.items()})
+    return tfam_params_from_torch(state, num_layers=num_layers, d_model=d_model)
+
+
 def tfam_params_from_torch(
     state: Mapping[str, np.ndarray],
     num_layers: int = 4,

@@ -32,22 +32,28 @@ def embed_in_fixed_batches(
     """Run ``embed_fn`` (a jit program over exactly ``batch_size`` frames)
     over an arbitrary-length frame stack; returns (len(frames), out_dim).
 
-    ``frames`` may be host numpy OR a device array: chunking and tail
-    padding use jnp ops that execute on the frames' device, so
-    device-resident inputs never bounce through the host (only the small
-    embeddings do)."""
+    ``frames`` may be host numpy or a device array; either way device
+    residency stays ONE padded chunk. Host inputs are uploaded chunk by
+    chunk (never the whole stack — an hours-long video would not fit HBM);
+    device-resident inputs are sliced/padded with jnp ops on their own
+    device and never bounce through the host (only the small embeddings
+    do)."""
     import jax.numpy as jnp
 
-    frames = jnp.asarray(frames)
+    on_device = not isinstance(frames, np.ndarray)
     out = []
     for i in range(0, frames.shape[0], batch_size):
         chunk = frames[i : i + batch_size]
         n = chunk.shape[0]
         if n < batch_size:  # pad the tail so XLA keeps one compiled shape
-            chunk = jnp.pad(
-                chunk, ((0, batch_size - n),) + ((0, 0),) * (chunk.ndim - 1)
-            )
-        out.append(np.asarray(embed_fn(chunk))[:n])
+            if on_device:
+                chunk = jnp.pad(
+                    chunk,
+                    ((0, batch_size - n),) + ((0, 0),) * (chunk.ndim - 1),
+                )
+            else:
+                chunk = pad_to_batch(np.asarray(chunk), batch_size)
+        out.append(np.asarray(embed_fn(jnp.asarray(chunk)))[:n])
     return (
         np.concatenate(out) if out else np.zeros((0, out_dim), np.float32)
     )

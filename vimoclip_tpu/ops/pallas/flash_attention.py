@@ -303,6 +303,31 @@ def _dqkv_single_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
 # ---------------------------------------------------------------------------
 
 
+def _expand_seed(dropout_seed, b: int, h: int) -> jax.Array:
+    """Expand a scalar / (B,) / (B, H) user seed to the kernel's per-(row,
+    head) (B, H) int32 seed matrix.
+
+    Expansion multiplies the user seed by a golden-ratio odd constant
+    (int32 wraparound) before adding slot indices, so CONSECUTIVE scalar
+    seeds (a step counter is natural API usage) land ~2.6e9 apart and
+    never reuse another step's (seed value, tile) pairs — a plain
+    ``seed + arange`` would make seeds s and s+1 share b*h-1 streams."""
+    gold = jnp.int32(-1640531527)  # 0x9E3779B9 as int32
+    seed = jnp.asarray(dropout_seed, jnp.int32)
+    if seed.size == 1:
+        return seed.reshape(()) * gold + jnp.arange(
+            b * h, dtype=jnp.int32
+        ).reshape(b, h)
+    if seed.shape == (b,):
+        return seed[:, None] * gold + jnp.arange(h, dtype=jnp.int32)[None, :]
+    if seed.shape != (b, h):
+        raise ValueError(
+            f"dropout_seed must be scalar, (B,), or (B, H); got "
+            f"{seed.shape} for B={b}, H={h}"
+        )
+    return seed
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -705,8 +730,9 @@ def flash_attention(
             the on-chip PRNG inside the kernel — nothing (Tq, Tk)-shaped is
             materialised. Requires ``dropout_seed``.
         dropout_seed: int32 seed(s) from the layer's dropout rng — a scalar
-            (expanded to one seed per (row, head): seed + index), or a
-            (B,) per-row vector, or a (B, H) per-(row, head) matrix. The
+            (expanded to one decorrelated seed per (row, head) via
+            ``_expand_seed``'s golden-ratio mix), or a (B,) per-row
+            vector, or a (B, H) per-(row, head) matrix. The
             same seeds reproduce the same mask, fwd and bwd; because bits
             are keyed by each row/head's OWN seed, results are identical
             under any batch/head sharding.
@@ -776,24 +802,7 @@ def flash_attention(
     if dropout_seed is None:
         seed = jnp.zeros((b, h), jnp.int32)
     else:
-        # Expansion multiplies the user seed by an odd constant (int32
-        # wraparound) before adding slot indices, so CONSECUTIVE scalar
-        # seeds (a step counter is natural API usage) land ~2.6e9 apart
-        # and never reuse another step's (seed value, tile) pairs — a
-        # plain `seed + arange` made seeds s and s+1 share b*h-1 streams.
-        gold = jnp.int32(-1640531527)  # 0x9E3779B9 as int32
-        seed = jnp.asarray(dropout_seed, jnp.int32)
-        if seed.size == 1:
-            seed = seed.reshape(()) * gold + jnp.arange(
-                b * h, dtype=jnp.int32
-            ).reshape(b, h)
-        elif seed.shape == (b,):
-            seed = seed[:, None] * gold + jnp.arange(h, dtype=jnp.int32)[None, :]
-        elif seed.shape != (b, h):
-            raise ValueError(
-                f"dropout_seed must be scalar, (B,), or (B, H); got "
-                f"{seed.shape} for B={b}, H={h}"
-            )
+        seed = _expand_seed(dropout_seed, b, h)
 
     out = _flash_core(q, k, v, bias, seed, float(dropout_rate), bq, bk,
                       interpret)

@@ -63,6 +63,14 @@ def cosine_annealing_schedule(
     return schedule
 
 
+# Both factories keep the chain LENGTH fixed whether or not grad clipping
+# is on (identity stands in — its state is EmptyState, same as
+# clip_by_global_norm's), so a checkpoint saved with any grad_clip setting
+# restores into a template built with any other: restore targets in tools
+# that don't know the training flags (vimo-predict, vimo-export-motion)
+# always structurally match.
+
+
 def make_adamw(
     lr,
     weight_decay: float = 0.1,
@@ -70,20 +78,19 @@ def make_adamw(
 ) -> optax.GradientTransformation:
     """AdamW matching torch defaults (betas (0.9, 0.999), eps 1e-8, decoupled
     decay — torch scales decay by lr, as optax.adamw does)."""
-    txs = []
-    if grad_clip is not None:
-        txs.append(optax.clip_by_global_norm(grad_clip))
-    txs.append(optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay))
-    return optax.chain(*txs)
+    clip = (optax.clip_by_global_norm(grad_clip) if grad_clip is not None
+            else optax.identity())
+    return optax.chain(
+        clip,
+        optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay),
+    )
 
 
 def make_adam(lr, grad_clip: float | None = None) -> optax.GradientTransformation:
     """Plain Adam for stage-1 (reference train.py:66)."""
-    txs = []
-    if grad_clip is not None:
-        txs.append(optax.clip_by_global_norm(grad_clip))
-    txs.append(optax.adam(lr))
-    return optax.chain(*txs)
+    clip = (optax.clip_by_global_norm(grad_clip) if grad_clip is not None
+            else optax.identity())
+    return optax.chain(clip, optax.adam(lr))
 
 
 class CheckpointManager:

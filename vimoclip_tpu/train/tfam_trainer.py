@@ -29,7 +29,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pandas as pd
 
 from vimoclip_tpu import losses
 from vimoclip_tpu.config import ExperimentConfig
@@ -299,8 +298,11 @@ class TFAMTester:
         self.class_names: dict[str, str] = {}
         path = trainer.config.data.class_names_dir
         if path and os.path.exists(path):
-            df = pd.read_csv(path, header=None, names=["id", "name"])
-            self.class_names = {str(r["id"]): r["name"] for _, r in df.iterrows()}
+            from vimoclip_tpu.extraction import load_class_names
+
+            self.class_names = {
+                str(k): v for k, v in load_class_names(path).items()
+            }
 
     def load_best(self) -> None:
         self.t.state, _ = self.t.ckpt.restore(self.t.state, "best")
@@ -308,18 +310,12 @@ class TFAMTester:
 
     def load_torch_checkpoint(self, path: str) -> None:
         """Evaluate a REFERENCE-trained checkpoint (best_model.pth,
-        train_and_eval.py:133-149) with this stack: torch state dict ->
-        numpy -> tfam_params_from_torch. Requires torch importable (offline
-        tool path, never the TPU hot loop)."""
-        import torch
+        train_and_eval.py:133-149) with this stack (torch_compat
+        .tfam_params_from_checkpoint — shared with the vimo-predict CLI)."""
+        from vimoclip_tpu.models.torch_compat import tfam_params_from_checkpoint
 
-        from vimoclip_tpu.models.torch_compat import strip_prefix, tfam_params_from_torch
-
-        raw = torch.load(path, map_location="cpu", weights_only=False)
-        state = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
-        state = strip_prefix({k: v.numpy() for k, v in state.items()})
-        params = tfam_params_from_torch(
-            state,
+        params = tfam_params_from_checkpoint(
+            path,
             num_layers=self.t.config.model.num_layers,
             d_model=self.t.config.model.d_model,
         )
