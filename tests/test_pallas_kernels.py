@@ -372,3 +372,40 @@ def test_flash_attention_random_shapes(seed):
         np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5,
         err_msg=f"b={b} h={h} tq={tq} tk={tk} d={d}",
     )
+
+
+def test_flash_attention_fully_masked_row_matches_xla():
+    """A fully user-masked row must fall back to uniform attention over
+    the REAL keys only (the XLA path's documented behavior) even when Tk
+    is not a multiple of 128 — grid-padding keys carry a strictly lower
+    bias than user-masked keys."""
+    q, k, v = _qkv(50, b=2, h=2, tq=16, tk=130, d=16)
+    ignore = jnp.ones((2, 130), dtype=bool)  # every key masked
+    ref = dot_product_attention(q, k, v, key_padding_mask=ignore)
+    got = flash_attention(q, k, v, key_padding_mask=ignore, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # and the uniform-over-real-keys value: mean of v over the 130 keys
+    expect = np.asarray(jnp.mean(v, axis=2, keepdims=True))
+    np.testing.assert_allclose(np.asarray(got),
+                               np.broadcast_to(expect, got.shape),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_dropout_rate_validation():
+    q, k, v = _qkv(51, b=1, h=1, tq=16, tk=16, d=16)
+    seed = jnp.array([1], jnp.int32)
+    with pytest.raises(ValueError, match="dropout_rate"):
+        flash_attention(q, k, v, dropout_rate=1.0, dropout_seed=seed,
+                        interpret=True)
+    with pytest.raises(ValueError, match="dropout_rate"):
+        flash_attention(q, k, v, dropout_rate=-0.1, dropout_seed=seed,
+                        interpret=True)
+
+
+def test_expand_seed_1x1_passthrough():
+    from vimoclip_tpu.ops.pallas.flash_attention import _expand_seed
+
+    m = jnp.array([[7]], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(_expand_seed(m, 1, 1)),
+                                  np.asarray(m))

@@ -68,8 +68,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
-_MASK_VALUE = -1e9
+# the ONE masking constant both implementations share — numerical parity
+# between the XLA and flash paths depends on it
+from vimoclip_tpu.ops.attention import _MASK_VALUE
+
 _NEG_INF = -1e30
+# bias for PADDING keys (tile-grid round-up), strictly below the user-mask
+# bias: when a row is fully user-masked, softmax falls back to uniform over
+# the REAL keys only — exactly the XLA path's fully-masked behavior
+# (ops/attention.py:26-30) — instead of leaking mass onto padding.
+_PAD_VALUE = -2e9
 
 
 def _keep_threshold(dropout_rate: float) -> int:
@@ -106,11 +114,12 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
                 scale, dropout_rate, nk, with_lse):
     # with_lse=False is the inference-only variant (primal _flash_core
     # path): no (B, H, 8, Tq) lse ever allocated or written — serving/eval
-    # forwards pay for exactly the output they use.
-    if with_lse:
-        lse_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        lse_ref, (m_scr, l_scr, acc_scr) = None, rest
+    # forwards pay for exactly the output they use. The (m, l, acc) VMEM
+    # scratch only exists for the online-softmax multi-K-tile case; the
+    # nk==1 plain-softmax branch gets none allocated at all.
+    lse_ref = rest[0] if with_lse else None
+    scr = rest[1:] if with_lse else rest
+    m_scr, l_scr, acc_scr = scr if nk > 1 else (None, None, None)
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
 
     q = q_ref[0, 0]                                   # (bq, d)
@@ -314,18 +323,20 @@ def _expand_seed(dropout_seed, b: int, h: int) -> jax.Array:
     ``seed + arange`` would make seeds s and s+1 share b*h-1 streams."""
     gold = jnp.int32(-1640531527)  # 0x9E3779B9 as int32
     seed = jnp.asarray(dropout_seed, jnp.int32)
+    # full (B, H) passes through untouched — checked FIRST so a (1, 1)
+    # matrix at B=H=1 isn't misrouted through the scalar expansion
+    if seed.shape == (b, h):
+        return seed
     if seed.size == 1:
         return seed.reshape(()) * gold + jnp.arange(
             b * h, dtype=jnp.int32
         ).reshape(b, h)
     if seed.shape == (b,):
         return seed[:, None] * gold + jnp.arange(h, dtype=jnp.int32)[None, :]
-    if seed.shape != (b, h):
-        raise ValueError(
-            f"dropout_seed must be scalar, (B,), or (B, H); got "
-            f"{seed.shape} for B={b}, H={h}"
-        )
-    return seed
+    raise ValueError(
+        f"dropout_seed must be scalar, (B,), or (B, H); got "
+        f"{seed.shape} for B={b}, H={h}"
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -390,7 +401,7 @@ def _fwd_local(q, k, v, bias, seed, dropout_rate, block_q, block_k,
             pltpu.VMEM((block_q, 1), jnp.float32),   # running max m
             pltpu.VMEM((block_q, 1), jnp.float32),   # running denom l
             pltpu.VMEM((block_q, d), jnp.float32),   # output accumulator
-        ],
+        ] if nk > 1 else [],
         # only the K sweep carries state (m/l/acc scratch); Mosaic may
         # pipeline/reorder the rest freely
         compiler_params=pltpu.CompilerParams(
@@ -762,6 +773,12 @@ def flash_attention(
         # the generic interpreter has no lowering for the TPU PRNG
         # primitives; the TPU-semantics interpreter stubs them (zero bits)
         interpret = pltpu.InterpretParams()
+    if not 0.0 <= dropout_rate < 1.0:
+        # rate=1.0 would 0/0 the output normalisation (the XLA path returns
+        # zeros there; a rate this high is always a config error)
+        raise ValueError(
+            f"dropout_rate must be in [0, 1); got {dropout_rate}"
+        )
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
     b, h, tq, d = q.shape
@@ -796,8 +813,11 @@ def flash_attention(
                 f"key_padding_mask must be (B, Tk) = {(b, tk)}; got "
                 f"{ignore.shape}"
             )
-    ignore = jnp.pad(ignore, ((0, 0), (0, tk_p - tk)), constant_values=True)
-    bias = jnp.where(ignore, _MASK_VALUE, 0.0).astype(jnp.float32)[:, None, :]
+    # user-masked keys get _MASK_VALUE, grid-padding keys the strictly
+    # lower _PAD_VALUE (see constants above)
+    bias = jnp.where(ignore, _MASK_VALUE, 0.0).astype(jnp.float32)
+    bias = jnp.pad(bias, ((0, 0), (0, tk_p - tk)),
+                   constant_values=_PAD_VALUE)[:, None, :]
 
     if dropout_seed is None:
         seed = jnp.zeros((b, h), jnp.int32)
