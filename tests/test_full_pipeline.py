@@ -327,3 +327,95 @@ model:
     probs = [p["probability"] for p in served[0]["predictions"]]
     assert len(probs) == C and all(0.0 <= p <= 1.0 for p in probs)
     assert served[0]["predictions"][0]["class_name"].startswith("cls")
+
+
+@pytest.mark.slow
+def test_vimo_pipeline_orchestrator(tmp_path, mesh8):
+    """vimo-pipeline runs the whole cascade from ONE command with a fixed
+    workdir layout, learns above chance, and a second identical invocation
+    skips every stage (idempotent crash-resume semantics)."""
+    import torch
+    from transformers import CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from vimoclip_tpu.cli.run_pipeline import main as pipeline_main
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "videos"
+    root.mkdir()
+    _make_corpus(root, rng)
+
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(HFConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, image_size=32, patch_size=8,
+        projection_dim=24))
+    clip_ckpt = str(tmp_path / "clip.pt")
+    torch.save(hf.state_dict(), clip_ckpt)
+
+    tfam_yaml = tmp_path / "tfam.yaml"
+    tfam_yaml.write_text(f"""
+training:
+  mode: both
+  seed: 49
+  lr: 3e-3
+  epochs: 8
+  batch_size: 4
+  num_workers: 2
+  data_parallel: 2
+  model_parallel: 1
+model:
+  d_model: 24
+  nhead: 2
+  num_layers: 1
+  dim_feedforward: 48
+  dropout: 0.0
+  mlp_dropout: 0.0
+data:
+  length_bucket: 8
+""")
+
+    workdir = str(tmp_path / "run")
+    args = [
+        "--workdir", workdir, "--data-root", str(root),
+        "--train-annotations", str(root / "train.txt"),
+        "--val-annotations", str(root / "train.txt"),
+        "--class-file", str(root / "classes.csv"),
+        "--clip-weights", clip_ckpt, "--tfam-config", str(tfam_yaml),
+        "--num-classes", str(C), "--extract-batch", "16",
+        "--student-epochs", "1", "--student-batch", "4",
+        "--sequence-length", "5", "--num-workers", "2", "--float32",
+        "--data-parallel", "2", "--model-parallel", "1",
+    ]
+    pipeline_main(args)
+
+    # artifacts in the documented layout
+    for name in ("rgb_train.h5", "rgb_val.h5", "motion.h5",
+                 "tfam_config.yaml"):
+        assert os.path.exists(os.path.join(workdir, name)), name
+    assert os.path.isdir(os.path.join(workdir, "student_ckpt", "best"))
+    results = sorted(
+        (tmp_path / "run" / "tfam").glob("results/results_*.json")
+    )
+    assert results, "pipeline wrote no stage-2 results"
+    with open(results[-1]) as f:
+        final = json.load(f)
+    assert final["metrics"]["mAP"] >= 3 * CHANCE_MAP, final["metrics"]
+
+    # second invocation: every stage skipped — artifacts untouched, no new
+    # stage-2 results written (setup_logging(force=True) detaches caplog,
+    # so assert on filesystem effects rather than log lines)
+    watched = [
+        os.path.join(workdir, "rgb_train.h5"),
+        os.path.join(workdir, "rgb_val.h5"),
+        os.path.join(workdir, "motion.h5"),
+    ]
+    mtimes = {p: os.path.getmtime(p) for p in watched}
+    n_results = len(results)
+    pipeline_main(args)
+    for p in watched:
+        assert os.path.getmtime(p) == mtimes[p], f"{p} was rewritten"
+    results_after = sorted(
+        (tmp_path / "run" / "tfam").glob("results/results_*.json")
+    )
+    assert len(results_after) == n_results, "stage 2 re-ran on resume"
