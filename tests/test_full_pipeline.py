@@ -330,10 +330,12 @@ model:
 
 
 @pytest.mark.slow
-def test_vimo_pipeline_orchestrator(tmp_path, mesh8):
+def test_vimo_pipeline_orchestrator(tmp_path, monkeypatch, mesh8):
     """vimo-pipeline runs the whole cascade from ONE command with a fixed
     workdir layout, learns above chance, and a second identical invocation
-    skips every stage (idempotent crash-resume semantics)."""
+    skips every stage (idempotent crash-resume semantics). Runs with a
+    RELATIVE --workdir — stage 2 chdirs into its run dir, so the pipeline
+    must abspath everything first."""
     import torch
     from transformers import CLIPVisionConfig as HFConfig
     from transformers import CLIPVisionModelWithProjection
@@ -375,7 +377,8 @@ data:
   length_bucket: 8
 """)
 
-    workdir = str(tmp_path / "run")
+    monkeypatch.chdir(tmp_path)
+    workdir = "run"  # relative on purpose (abspath'd by the pipeline)
     args = [
         "--workdir", workdir, "--data-root", str(root),
         "--train-annotations", str(root / "train.txt"),
@@ -389,9 +392,10 @@ data:
     ]
     pipeline_main(args)
 
-    # artifacts in the documented layout
+    # artifacts in the documented layout (incl. per-stage done markers)
     for name in ("rgb_train.h5", "rgb_val.h5", "motion.h5",
-                 "tfam_config.yaml"):
+                 os.path.join("tfam", "pipeline.yaml"),
+                 ".extract_train.done", ".train_student.done", ".tfam.done"):
         assert os.path.exists(os.path.join(workdir, name)), name
     assert os.path.isdir(os.path.join(workdir, "student_ckpt", "best"))
     results = sorted(

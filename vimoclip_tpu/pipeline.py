@@ -5,24 +5,35 @@ hand through ad-hoc paths (README.md recipe: extract_embeddings.py ->
 generate_*_videos.py -> train*.py -> inference*.py ->
 TFAM/train_and_eval*.py). ``run_pipeline`` drives the same chain through
 this package's CLI surfaces with a fixed artifact layout under one
-``workdir`` and idempotent stage skipping: a stage whose artifact already
-exists is skipped (crash anywhere -> rerun the same command -> only the
-missing stages run; combine with the trainers' own ``--resume`` for
-mid-stage recovery). ``vimo-pipeline`` is the CLI front end.
+``workdir`` and idempotent stage skipping. ``vimo-pipeline`` is the CLI
+front end.
+
+Resume semantics: every stage writes a ``.<stage>.done`` marker only after
+it finished SUCCESSFULLY, and the skip gate checks the marker — never the
+artifact alone, because a crash can leave a structurally-plausible partial
+HDF5/checkpoint behind. Crash anywhere -> rerun the same command -> the
+completed stages skip, the interrupted stage re-runs (stage 1 additionally
+passes ``--resume`` so training continues from its latest checkpoint, and
+the motion-export stage's own group-level resume finishes partial files).
+``force=True`` ignores the markers AND passes the overwrite flags through,
+so corrupt artifacts are actually regenerated.
 
 Artifact layout under ``workdir``:
 
     rgb_train.h5, rgb_val.h5     stage-0 teacher embeddings
-    motion_videos/               generated motion modality (+ .done marker)
-    student_ckpt/                stage-1 checkpoints ('best' = artifact)
+    motion_videos/               generated motion modality
+    student_ckpt/                stage-1 checkpoints
     motion.h5                    stage-1 exported motion embeddings
-    tfam_config.yaml             stage-2 config with data paths injected
-    tfam/                        stage-2 run dir (logs/checkpoints/results)
+    tfam/pipeline.yaml           stage-2 config with data paths injected
+    tfam/pipeline/{logs,checkpoints}/<run>  stage-2 run dirs
+    tfam/results/results_*.json  stage-2 evaluation output
+    .<stage>.done                per-stage completion markers
 """
 
 from __future__ import annotations
 
 import dataclasses
+import glob
 import logging
 import os
 
@@ -50,27 +61,41 @@ class PipelineConfig:
     half_precision: bool = True
     data_parallel: int = -1  # stage-1 mesh (-1 = all devices)
     model_parallel: int = 1
-    force: bool = False  # rerun stages even when artifacts exist
-
-
-def _exists(path: str) -> bool:
-    return os.path.exists(path)
-
-
-def _skip(cfg: PipelineConfig, artifact: str, stage: str) -> bool:
-    if not cfg.force and _exists(artifact):
-        logging.info("[pipeline] %s: artifact %s exists — skipping",
-                     stage, artifact)
-        return True
-    logging.info("[pipeline] %s -> %s", stage, artifact)
-    return False
+    force: bool = False  # rerun stages even when markers exist
 
 
 def run_pipeline(cfg: PipelineConfig) -> dict:
     """Run (or resume) the full cascade; returns artifact paths."""
+    # Everything is carried as ABSOLUTE paths: stage 2 chdirs into its run
+    # dir, and relative --workdir invocations must survive that.
+    cfg = dataclasses.replace(
+        cfg,
+        workdir=os.path.abspath(cfg.workdir),
+        data_root=os.path.abspath(cfg.data_root),
+        train_annotations=os.path.abspath(cfg.train_annotations),
+        val_annotations=os.path.abspath(cfg.val_annotations),
+        class_file=os.path.abspath(cfg.class_file),
+        clip_weights=os.path.abspath(cfg.clip_weights),
+        tfam_config=os.path.abspath(cfg.tfam_config),
+    )
     os.makedirs(cfg.workdir, exist_ok=True)
     w = lambda name: os.path.join(cfg.workdir, name)
     float32 = ["--float32"] if not cfg.half_precision else []
+
+    def marker(stage: str) -> str:
+        return w(f".{stage}.done")
+
+    def is_done(stage: str) -> bool:
+        if not cfg.force and os.path.exists(marker(stage)):
+            logging.info("[pipeline] %s: done marker exists — skipping",
+                         stage)
+            return True
+        logging.info("[pipeline] running %s", stage)
+        return False
+
+    def mark_done(stage: str) -> None:
+        with open(marker(stage), "w"):
+            pass
 
     # stage 0: teacher extraction (train + val splits)
     from vimoclip_tpu.cli.extract_embeddings import main as extract_main
@@ -80,22 +105,27 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         "--clip-weights", cfg.clip_weights,
         "--batch-size", str(cfg.extract_batch),
     ] + float32
+    if cfg.data_parallel > 1:
+        common += ["--data-parallel", str(cfg.data_parallel)]
     rgb_train = w("rgb_train.h5")
-    if not _skip(cfg, rgb_train, "extract[train]"):
+    if not is_done("extract_train"):
         extract_main(["--annotation-file", cfg.train_annotations,
                       "--output", rgb_train, "--split", "train"] + common)
+        mark_done("extract_train")
     rgb_val = w("rgb_val.h5")
-    if not _skip(cfg, rgb_val, "extract[val]"):
+    if not is_done("extract_val"):
         extract_main(["--annotation-file", cfg.val_annotations,
                       "--output", rgb_val, "--split", "val"] + common)
+        mark_done("extract_val")
 
-    # stage 0b: motion-modality videos for every annotated video
-    from vimoclip_tpu.cli.generate_motion import main as motion_main
+    # stage 0b: motion-modality videos for every annotated video (library
+    # call, not the CLI: the errors dict must gate the marker — a silently
+    # incomplete motion corpus would poison every later stage)
     from vimoclip_tpu.extraction import load_annotations
+    from vimoclip_tpu.motion import load_flow_backend, process_video_list
 
     motion_dir = w("motion_videos")
-    done = os.path.join(motion_dir, ".done")
-    if not _skip(cfg, done, "generate-motion"):
+    if not is_done("generate_motion"):
         names: list[str] = []
         seen = set()
         for ann in (cfg.train_annotations, cfg.val_annotations):
@@ -106,21 +136,30 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         list_file = w("video_list.txt")
         with open(list_file, "w") as f:
             f.write("\n".join(names))
-        args = ["--list-file", list_file, "--input-dir", cfg.data_root,
-                "--output-dir", motion_dir, "--kind", cfg.motion_kind]
-        if cfg.motion_kind == "flow":
-            args += ["--flow-backend", cfg.flow_backend]
-            if cfg.flow_weights:
-                args += ["--flow-weights", cfg.flow_weights]
-        motion_main(args)
-        with open(done, "w"):
-            pass
+        flow_fn = None
+        if cfg.motion_kind == "flow" and cfg.flow_backend != "farneback":
+            flow_fn = load_flow_backend(
+                cfg.flow_backend, weights=cfg.flow_weights
+            )
+        errors = process_video_list(
+            list_file, cfg.data_root, motion_dir, kind=cfg.motion_kind,
+            skip_existing=not cfg.force, flow_fn=flow_fn,
+        )
+        if errors:
+            raise RuntimeError(
+                f"motion generation failed for {len(errors)} videos "
+                f"(e.g. {next(iter(errors.items()))}); fix the corpus or "
+                "remove them from the annotations, then rerun"
+            )
+        mark_done("generate_motion")
 
-    # stage 1: student distillation
+    # stage 1: student distillation (--resume continues a mid-training
+    # crash from its latest checkpoint; the marker only lands when the
+    # full epoch budget completed)
     from vimoclip_tpu.cli.train_student import main as train_main
 
     student_ckpt = w("student_ckpt")
-    if not _skip(cfg, os.path.join(student_ckpt, "best"), "train-student"):
+    if not is_done("train_student"):
         train_main([
             "--train-embeddings", rgb_train, "--val-embeddings", rgb_val,
             "--motion-videos-dir", motion_dir,
@@ -134,18 +173,21 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
             "--data-parallel", str(cfg.data_parallel),
             "--model-parallel", str(cfg.model_parallel),
         ] + float32)
+        mark_done("train_student")
 
-    # stage 1b: motion-embedding export
+    # stage 1b: motion-embedding export (the exporter's own group-level
+    # resume finishes a partial motion.h5; force overwrites it)
     from vimoclip_tpu.cli.export_motion_embeddings import main as export_main
 
     motion_h5 = w("motion.h5")
-    if not _skip(cfg, motion_h5, "export-motion"):
+    if not is_done("export_motion"):
         export_main([
             "--videos-dir", motion_dir, "--output", motion_h5,
             "--checkpoint-dir", student_ckpt,
             "--clip-weights", cfg.clip_weights,
             "--num-classes", str(cfg.num_classes),
-        ] + float32)
+        ] + float32 + (["--overwrite"] if cfg.force else []))
+        mark_done("export_motion")
 
     # consistency gate (the reference's de-facto integration check,
     # h5_structure_checker): train/val teacher extractions share a schema
@@ -155,7 +197,9 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         raise RuntimeError("train/val teacher HDF5 schemas diverge")
 
     # stage 2: TFAM train + eval with data paths injected into the user's
-    # stage-2 config
+    # stage-2 config. The injected config lives INSIDE tfam/ so the
+    # config-derived run dirs (config.derive_run_dirs) land under
+    # tfam/pipeline/ as documented.
     from vimoclip_tpu.cli.tfam_train_eval import main as tfam_main
 
     with open(cfg.tfam_config) as f:
@@ -166,31 +210,26 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     data["flow_dataset_path"] = motion_h5
     data.setdefault("class_names_dir", cfg.class_file)
     data.setdefault("num_classes", cfg.num_classes)
-    injected = w("tfam_config.yaml")
+    rundir = w("tfam")
+    os.makedirs(rundir, exist_ok=True)
+    injected = os.path.join(rundir, "pipeline.yaml")
     with open(injected, "w") as f:
         yaml.safe_dump(tfam_cfg, f)
-    rundir = w("tfam")
-    # the stage-2 artifact is a written results JSON (a crash-left empty
-    # run dir must NOT count as done)
-    import glob as _glob
-
-    existing = _glob.glob(os.path.join(rundir, "results", "results_*.json"))
-    if cfg.force or not existing:
-        logging.info("[pipeline] tfam-train-eval -> %s", rundir)
+    if not is_done("tfam"):
         cwd = os.getcwd()
-        os.makedirs(rundir, exist_ok=True)
         try:
-            os.chdir(rundir)  # run dirs + results land here
+            os.chdir(rundir)  # results/ lands here
             tfam_main(["--config", injected, "--run-name", "pipeline"])
         finally:
             os.chdir(cwd)
-    else:
-        logging.info("[pipeline] tfam-train-eval: %s exists — skipping",
-                     existing[-1])
+        mark_done("tfam")
 
     return {
         "rgb_train": rgb_train, "rgb_val": rgb_val,
         "motion_videos": motion_dir, "student_ckpt": student_ckpt,
         "motion_embeddings": motion_h5, "tfam_config": injected,
         "tfam_rundir": rundir,
+        "tfam_results": sorted(
+            glob.glob(os.path.join(rundir, "results", "results_*.json"))
+        ),
     }
