@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="CLIP weights for teacher + student init")
     p.add_argument("--tfam-config", required=True,
                    help="stage-2 YAML (data paths are injected)")
+    p.add_argument("--dataset", choices=["ak", "mammalnet"], default="ak",
+                   help="mammalnet = CE-loss nested-group stage-1 (the "
+                        "TFAM YAML must set training.loss: ce itself)")
     p.add_argument("--motion-kind", choices=["frame_diff", "flow"],
                    default="frame_diff")
     p.add_argument("--flow-backend", choices=["farneback", "raft"],
@@ -61,7 +64,8 @@ def main(argv: list[str] | None = None) -> None:
         train_annotations=args.train_annotations,
         val_annotations=args.val_annotations,
         class_file=args.class_file, clip_weights=args.clip_weights,
-        tfam_config=args.tfam_config, motion_kind=args.motion_kind,
+        tfam_config=args.tfam_config, dataset=args.dataset,
+        motion_kind=args.motion_kind,
         flow_backend=args.flow_backend, flow_weights=args.flow_weights,
         num_classes=args.num_classes, extract_batch=args.extract_batch,
         student_epochs=args.student_epochs, student_batch=args.student_batch,

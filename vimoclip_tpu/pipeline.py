@@ -49,6 +49,8 @@ class PipelineConfig:
     class_file: str
     clip_weights: str
     tfam_config: str
+    dataset: str = "ak"  # ak | mammalnet (CE loss + nested groups stage-1;
+    # MN stage-2 additionally needs training.loss: ce in the TFAM YAML)
     motion_kind: str = "frame_diff"  # frame_diff | flow
     flow_backend: str = "farneback"
     flow_weights: str | None = None
@@ -172,6 +174,7 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
             "--num-classes", str(cfg.num_classes), "--resume",
             "--data-parallel", str(cfg.data_parallel),
             "--model-parallel", str(cfg.model_parallel),
+            "--dataset", cfg.dataset,
         ] + float32)
         mark_done("train_student")
 
