@@ -423,3 +423,95 @@ data:
         (tmp_path / "run" / "tfam").glob("results/results_*.json")
     )
     assert len(results_after) == n_results, "stage 2 re-ran on resume"
+
+
+@pytest.mark.slow
+def test_vimo_pipeline_mammalnet_variant(tmp_path, monkeypatch, mesh8):
+    """The MN family end to end through the orchestrator: nested
+    trimmed_videos/ corpus, CE-loss stage-1, CE/accuracy stage-2 — and the
+    recursive motion-video discovery that nesting requires
+    (reference inference_frame_diff.py:84-86)."""
+    import torch
+    from transformers import CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from vimoclip_tpu.cli.run_pipeline import main as pipeline_main
+
+    rng = np.random.default_rng(9)
+    root = tmp_path / "mn"
+    (root / "trimmed_videos").mkdir(parents=True)
+    names = []
+    for i in range(N_VIDEOS):
+        k = i % C
+        t = int(rng.integers(8, 13))
+        noise = rng.integers(0, 256, (t, 36, 48, 3)).astype(np.float32)
+        gain = np.where(np.arange(t) % 2 == 0, 1.0, 0.55)[:, None, None, None]
+        video = np.clip(0.25 * noise + _PALETTE[k] * gain, 0, 255).astype(np.uint8)
+        name = f"trimmed_videos/m{i}.mp4"
+        write_video(str(root / name), video)
+        names.append(name)
+    (root / "train.txt").write_text(
+        "\n".join(f"{n} {i % C}" for i, n in enumerate(names))
+    )
+    (root / "classes.csv").write_text(
+        "id,name\n" + "\n".join(f"{i},mn{i}" for i in range(C))
+    )
+
+    torch.manual_seed(4)
+    hf = CLIPVisionModelWithProjection(HFConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, image_size=32, patch_size=8,
+        projection_dim=24))
+    clip_ckpt = str(tmp_path / "clip_mn.pt")
+    torch.save(hf.state_dict(), clip_ckpt)
+
+    tfam_yaml = tmp_path / "tfam_mn.yaml"
+    tfam_yaml.write_text(f"""
+training:
+  mode: both
+  seed: 49
+  lr: 3e-3
+  epochs: 8
+  batch_size: 4
+  num_workers: 2
+  data_parallel: 2
+  model_parallel: 1
+  loss: ce
+  metric: accuracy
+model:
+  d_model: 24
+  nhead: 2
+  num_layers: 1
+  dim_feedforward: 48
+  dropout: 0.0
+  mlp_dropout: 0.0
+data:
+  length_bucket: 8
+""")
+
+    workdir = str(tmp_path / "mnrun")
+    pipeline_main([
+        "--workdir", workdir, "--data-root", str(root),
+        "--train-annotations", str(root / "train.txt"),
+        "--val-annotations", str(root / "train.txt"),
+        "--class-file", str(root / "classes.csv"),
+        "--clip-weights", clip_ckpt, "--tfam-config", str(tfam_yaml),
+        "--dataset", "mammalnet",
+        "--num-classes", str(C), "--extract-batch", "16",
+        "--student-epochs", "1", "--student-batch", "4",
+        "--sequence-length", "5", "--num-workers", "2", "--float32",
+        "--data-parallel", "2", "--model-parallel", "1",
+    ])
+
+    import h5py
+
+    with h5py.File(os.path.join(workdir, "motion.h5"), "r") as f:
+        assert len(list(f.keys())) >= N_VIDEOS  # recursive discovery worked
+    results = sorted(
+        (tmp_path / "mnrun" / "tfam").glob("results/results_*.json")
+    )
+    assert results
+    with open(results[-1]) as f:
+        final = json.load(f)
+    # CE/accuracy variant: metric is top-1 accuracy, chance = 1/C
+    assert final["metrics"]["mAP"] >= 2 * CHANCE_MAP, final["metrics"]

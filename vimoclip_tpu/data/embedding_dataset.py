@@ -48,7 +48,25 @@ class PairedEmbeddingDataset:
         self.num_frames = num_frames
 
         with h5py.File(rgb_path, "r") as f:
-            keys = [k for k in f.keys() if isinstance(f[k], h5py.Group)]
+            # Flat AK layout: every top-level group holds `embeddings`.
+            # Nested MN layout: groups sit one level under trimmed_videos/
+            # (extract_embeddings_mammalNet.py:97,113 creates
+            # "trimmed_videos/<id>.mp4" groups). The reference's OWN MN
+            # stage-2 dataset lists only top-level keys over that nested
+            # file (TFAM/data/dataset_frame_diff.py:26) and so sees a
+            # single unusable group — broken as-committed (QUIRKS.md #24);
+            # here one level of nesting is descended.
+            keys: list[str] = []
+            for k, node in f.items():
+                if not isinstance(node, h5py.Group):
+                    continue
+                if "embeddings" in node:
+                    keys.append(k)
+                else:
+                    keys.extend(
+                        f"{k}/{c}" for c, sub in node.items()
+                        if isinstance(sub, h5py.Group) and "embeddings" in sub
+                    )
             if max_frames:
                 keys = [
                     k for k in keys if f[k]["embeddings"].shape[0] < max_frames
@@ -79,6 +97,11 @@ class PairedEmbeddingDataset:
         labels = g["labels"][:].astype(np.float32)
 
         motion_id = video_id.split(".")[0]  # dataset.py:65
+        if motion_id not in motion_f:
+            # MN: nested rgb keys (trimmed_videos/<id>.mp4) pair with the
+            # FLAT motion ids the exporter writes (basename keys,
+            # inference_frame_diff.py:371)
+            motion_id = motion_id.rsplit("/", 1)[-1]
         motion = motion_f[motion_id]["embeddings"][:].astype(np.float32)
 
         if self.num_frames:

@@ -61,10 +61,15 @@ def memory_guard(min_free_gb: float) -> None:
 
 
 def find_motion_videos(videos_dir: str, extensions=(".mp4", ".avi", ".mkv")) -> list[str]:
-    """Glob the motion-video corpus (inference.py:19-29)."""
+    """Glob the motion-video corpus RECURSIVELY (the reference does too,
+    inference_frame_diff.py:84-86 ``**/*.*`` — MammalNet corpora nest under
+    ``trimmed_videos/``; flat AK layouts are unaffected)."""
     paths: list[str] = []
     for ext in extensions:
-        paths.extend(glob.glob(os.path.join(videos_dir, f"*{ext}")))
+        paths.extend(
+            glob.glob(os.path.join(videos_dir, "**", f"*{ext}"),
+                      recursive=True)
+        )
     return sorted(paths)
 
 

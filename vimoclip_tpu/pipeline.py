@@ -154,6 +154,14 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
                 "remove them from the annotations, then rerun"
             )
         mark_done("generate_motion")
+    # Motion generation preserves the corpus layout; MN corpora nest under
+    # trimmed_videos/, but the reference's MN datasets read motion clips
+    # from a FLAT dir keyed by bare video id (dataset_frame_diff_mn.py:116)
+    # — so stages 1/1b consume the nested subdir directly.
+    stage1_motion_dir = (
+        os.path.join(motion_dir, "trimmed_videos")
+        if cfg.dataset == "mammalnet" else motion_dir
+    )
 
     # stage 1: student distillation (--resume continues a mid-training
     # crash from its latest checkpoint; the marker only lands when the
@@ -164,7 +172,7 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     if not is_done("train_student"):
         train_main([
             "--train-embeddings", rgb_train, "--val-embeddings", rgb_val,
-            "--motion-videos-dir", motion_dir,
+            "--motion-videos-dir", stage1_motion_dir,
             "--checkpoint-dir", student_ckpt, "--log-dir", w("student_logs"),
             "--clip-weights", cfg.clip_weights,
             "--epochs", str(cfg.student_epochs),
@@ -185,7 +193,7 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     motion_h5 = w("motion.h5")
     if not is_done("export_motion"):
         export_main([
-            "--videos-dir", motion_dir, "--output", motion_h5,
+            "--videos-dir", stage1_motion_dir, "--output", motion_h5,
             "--checkpoint-dir", student_ckpt,
             "--clip-weights", cfg.clip_weights,
             "--num-classes", str(cfg.num_classes),
