@@ -193,3 +193,46 @@ def test_checkpoint_restores_across_grad_clip_settings(tmp_path):
     restored2, _ = mgr2.restore(template2, "best")
     np.testing.assert_array_equal(np.asarray(restored2.params["w"]),
                                   np.ones((3, 3)))
+
+
+def test_legacy_single_element_chain_checkpoint_restores(tmp_path):
+    """Regression (ADVICE.md round 2, low): checkpoints written by the
+    PRE-fixed-chain revision (grad_clip=None => 1-element optax chain, no
+    leading identity) must still restore into today's 2-element template —
+    ``CheckpointManager.restore`` retries with the clip-less legacy template
+    and re-prepends the stateless identity element."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vimoclip_tpu.train.state import (
+        CheckpointManager, TrainState, make_adamw,
+    )
+
+    params = {"w": jnp.full((3, 3), 2.0), "b": jnp.zeros(3)}
+    # the old revision's make_adamw(grad_clip=None): bare 1-element chain
+    legacy_tx = optax.chain(
+        optax.adamw(lambda s: 1e-4, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=0.1)
+    )
+    legacy = TrainState.create(params, legacy_tx)
+    # advance one step so the adamw moments are non-trivial
+    legacy = legacy.apply_gradients(jax.tree.map(jnp.ones_like, params))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(legacy, "best")
+
+    template = TrainState.create(
+        jax.tree.map(jnp.zeros_like, params), make_adamw(lambda s: 1e-4)
+    )
+    restored, _ = mgr.restore(template, "best")
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(legacy.params["w"])
+    )
+    assert int(restored.step) == 1
+    # the adamw moments survived (identity contributes no array leaves, so
+    # the two layouts have identical leaf sequences)
+    legacy_leaves = jax.tree.leaves(legacy.opt_state)
+    new_leaves = jax.tree.leaves(restored.opt_state)
+    assert len(legacy_leaves) == len(new_leaves)
+    for a, b in zip(legacy_leaves, new_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -120,6 +120,27 @@ def test_predict_batch_matches_single_for_longest(predictor, video, tmp_path):
                            atol=1e-5)
 
 
+def test_pooled_embedding_matches_per_video(predictor):
+    """predict_batch pools all clips' frames into shared fixed-shape
+    embedding batches (one tail pad per resolution group); the scattered
+    per-video embeddings must EXACTLY equal the per-video path — including
+    mixed resolutions (grouped) and lengths around window boundaries."""
+    rng = np.random.default_rng(11)
+    videos = [
+        rng.integers(0, 256, (13, 36, 48, 3), dtype=np.uint8),
+        rng.integers(0, 256, (8, 24, 24, 3), dtype=np.uint8),  # other res
+        rng.integers(0, 256, (5, 36, 48, 3), dtype=np.uint8),
+        rng.integers(0, 256, (1, 36, 48, 3), dtype=np.uint8),  # no diffs
+    ]
+    pooled = predictor._embed_videos_pooled(videos)
+    for frames, (rgb, mot) in zip(videos, pooled):
+        ref_rgb, ref_mot = predictor.embed_video(frames)
+        np.testing.assert_array_equal(rgb, ref_rgb)
+        np.testing.assert_array_equal(mot, ref_mot)
+        assert rgb.shape == (len(frames), 16)
+        assert mot.shape == (max(len(frames) - 1, 0), 16)
+
+
 def test_windowed_embed_video_matches_whole_video(predictor):
     """The streamed window path (frame_batch-sized uploads, on-device diff
     with a 1-frame overlap) must produce exactly the embeddings of the

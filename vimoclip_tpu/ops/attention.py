@@ -92,6 +92,12 @@ class MultiHeadAttention(nn.Module):
     #   (dropout training steps, long sequences), XLA otherwise; never off
     #   the TPU backend (elsewhere flash would run in interpreter mode).
     #   The crossover table lives in docs/PERF.md.
+    #   CAVEAT (ADVICE r2 #4): "auto" keys off jax.default_backend(), i.e.
+    #   it assumes the computation runs on the process default device. In a
+    #   TPU-default process that explicitly places a long-T computation on
+    #   CPU (jax.default_device / device_put) it would still pick the Mosaic
+    #   kernel and fail to lower — pin implementation="xla" for such
+    #   off-default placements.
     implementation: str = "xla"
 
     # Measured on the v5e chip (docs/PERF.md "flash vs XLA crossover"):

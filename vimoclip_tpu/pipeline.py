@@ -216,6 +216,15 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     with open(cfg.tfam_config) as f:
         tfam_cfg = yaml.safe_load(f) or {}
     data = tfam_cfg.setdefault("data", {})
+    # Stage 2 runs chdir'd into tfam/ — absolutize every user-supplied
+    # path-like value (relative to the YAML's own directory, the natural
+    # reading) so e.g. a relative class_names_dir doesn't silently resolve
+    # against the run dir and yield empty class names (ADVICE r2 #3).
+    yaml_dir = os.path.dirname(cfg.tfam_config)
+    for key, val in list(data.items()):
+        if (key.endswith(("_path", "_dir", "_file")) and isinstance(val, str)
+                and not os.path.isabs(val)):
+            data[key] = os.path.abspath(os.path.join(yaml_dir, val))
     data["train_dataset_path"] = rgb_train
     data["val_dataset_path"] = rgb_val
     data["flow_dataset_path"] = motion_h5

@@ -59,6 +59,7 @@ class ViMoCLIPPredictor:
         half_precision: bool = True,
     ):
         self.num_classes = num_classes
+        self.embed_dim = teacher_config.projection_dim
         self.class_names = class_names or {}
         self.frame_batch = frame_batch
         self.length_bucket = length_bucket
@@ -110,7 +111,9 @@ class ViMoCLIPPredictor:
         """Batch arbitrary-length frame stacks through a fixed-shape program
         (host numpy or device arrays; device inputs never bounce through
         the host — see ops.batching)."""
-        return embed_in_fixed_batches(embed_fn, frames, self.frame_batch, 512)
+        return embed_in_fixed_batches(
+            embed_fn, frames, self.frame_batch, self.embed_dim
+        )
 
     def embed_video(self, frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(T, H, W, 3) uint8 -> (rgb_emb (T, D), motion_emb (T-1, D)).
@@ -137,7 +140,7 @@ class ViMoCLIPPredictor:
                 mot_out.append(
                     self._embed_frames(self._student_embed, frame_diff(window))
                 )
-        empty = np.zeros((0, 512), np.float32)
+        empty = np.zeros((0, self.embed_dim), np.float32)
         rgb_emb = np.concatenate(rgb_out) if rgb_out else empty
         motion_emb = np.concatenate(mot_out) if mot_out else empty
         return rgb_emb, motion_emb
@@ -185,6 +188,37 @@ class ViMoCLIPPredictor:
             motion_emb = self._embed_frames(self._student_embed, motion)
         return self.predict_embeddings(rgb_emb, motion_emb, video_path, top_k)
 
+    def _embed_videos_pooled(
+        self, videos: list[np.ndarray]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Embed several videos through SHARED fixed-shape frame batches.
+
+        Clips of one resolution are concatenated along time and streamed
+        through ``embed_video`` as a single pooled stack, so only the pool's
+        tail batch pays padding — not every video's (the extractor's
+        pack-across-video-boundaries scheme, extraction.py buffers/owners).
+        ``embed_video`` on the pool yields per-frame RGB embeddings plus the
+        diff embedding of every consecutive pooled pair; per-video arrays
+        are direct slices, dropping the one cross-clip boundary diff between
+        consecutive videos (V-1 wasted diff embeddings per group — noise
+        next to the per-video tail padding it removes). Each frame's
+        embedding is independent of its batch neighbours, so results match
+        the per-video path exactly."""
+        out: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(videos)
+        groups: dict[tuple, list[int]] = {}
+        for i, frames in enumerate(videos):
+            groups.setdefault(tuple(frames.shape[1:3]), []).append(i)
+        for idxs in groups.values():
+            pooled = np.concatenate([videos[i] for i in idxs])
+            rgb_all, diff_all = self.embed_video(pooled)
+            ofs = 0
+            for i in idxs:
+                n = len(videos[i])
+                mot = diff_all[ofs : ofs + max(n - 1, 0)]
+                out[i] = (rgb_all[ofs : ofs + n], mot)
+                ofs += n
+        return out  # type: ignore[return-value]
+
     def predict_batch(
         self,
         video_paths: list[str],
@@ -192,11 +226,10 @@ class ViMoCLIPPredictor:
         max_frames: int | None = None,
     ) -> list[Prediction]:
         """Serve a batch of videos: frames of all clips share the embedding
-        batches, and the fusion step runs once over the padded batch."""
-        embs = []
-        for path in video_paths:
-            frames = read_video(path, max_frames=max_frames)
-            embs.append(self.embed_video(frames))
+        batches (pooled per resolution, one tail pad per group), and the
+        fusion step runs once over the padded batch."""
+        videos = [read_video(p, max_frames=max_frames) for p in video_paths]
+        embs = self._embed_videos_pooled(videos)
 
         t_r = round_up_bucket(max(len(r) for r, _ in embs),
                               self.length_bucket, self.max_seq_len)

@@ -160,7 +160,22 @@ class CheckpointManager:
 
     def restore(self, state: TrainState, name: str = "best") -> tuple[TrainState, dict]:
         path = os.path.join(self.directory, name)
-        restored = self._ckptr.restore(path, target=self._payload(state))
+        target = self._payload(state)
+        try:
+            restored = self._ckptr.restore(path, target=target)
+        except Exception:
+            # Legacy fallback (ADVICE r2 #1): before the factories pinned the
+            # chain length, grad_clip=None produced a 1-element opt_state
+            # chain (no leading identity). Retry against that template and
+            # re-prepend the template's identity element — it is stateless
+            # (EmptyState), so reusing the fresh value is exact.
+            opt = target["opt_state"]
+            if not (isinstance(opt, tuple) and len(opt) >= 2):
+                raise
+            legacy = dict(target, opt_state=opt[1:])
+            restored = self._ckptr.restore(path, target=legacy)
+            restored = dict(restored)
+            restored["opt_state"] = (opt[0],) + tuple(restored["opt_state"])
         new_state = state.replace(
             step=jnp.asarray(restored["step"]),
             params=restored["params"],

@@ -101,6 +101,13 @@ class TFAMTrainer:
             config.training.seed, impl=config.training.dropout_rng_impl
         )
         self.metric = _make_metric(config)
+        # Publish the metric under its real name: the reference names it per
+        # variant ("mAP" for AK multilabel, accuracy for MN —
+        # train_and_eval_frame_diff_MN.py:49,88), so an MN run's accuracy must
+        # not be labeled "mAP" in TB tags / results JSON / console summaries.
+        self.metric_name = (
+            "accuracy" if config.training.metric == "accuracy" else "mAP"
+        )
         self.loss_fn = _loss_fn_for(config)
         self.writer = SummaryWriter(log_dir)
         self.ckpt = CheckpointManager(
@@ -222,7 +229,7 @@ class TFAMTrainer:
         train_loss = total_loss / max(n, 1)
         train_metric = self.metric.compute()
         self.writer.add_scalar("Loss/train", train_loss, epoch)
-        self.writer.add_scalar("mAP/train", train_metric, epoch)
+        self.writer.add_scalar(f"{self.metric_name}/train", train_metric, epoch)
         self.writer.add_scalar("perf/train_clips_per_sec", timer.examples_per_sec, epoch)
         if last_logits is not None:  # final-batch dumps, reference train.py:146-153
             logits_np, labels_np = np.asarray(last_logits), np.asarray(last_labels)
@@ -245,7 +252,7 @@ class TFAMTrainer:
         val_metric = self.metric.compute()
         if epoch is not None:
             self.writer.add_scalar("Loss/val", val_loss, epoch)
-            self.writer.add_scalar("mAP/val", val_metric, epoch)
+            self.writer.add_scalar(f"{self.metric_name}/val", val_metric, epoch)
         return val_loss, val_metric
 
     def train(self) -> float:
@@ -269,7 +276,8 @@ class TFAMTrainer:
             skip = 0
             val_loss, val_map = self.validate(epoch)
             if self.ckpt.save_if_best(self.state, val_map, extra={"epoch": epoch}):
-                logging.info("new best model at epoch %d (mAP=%.4f)", epoch, val_map)
+                logging.info("new best model at epoch %d (%s=%.4f)",
+                             epoch, self.metric_name, val_map)
                 best = val_map
             self.ckpt.save(self.state, f"step_{int(self.state.step)}", extra={"epoch": epoch})
             lr = float(self._schedule(int(self.state.step)))
@@ -279,9 +287,10 @@ class TFAMTrainer:
             })
             self.writer.add_scalar("Learning Rate", lr, epoch)
             logging.info(
-                "Epoch %d/%d | Train Loss: %.4f | Train mAP: %.4f | "
-                "Val Loss: %.4f | Val mAP: %.4f | LR: %.2e",
-                epoch + 1, tcfg.epochs, train_loss, train_map, val_loss, val_map, lr,
+                "Epoch %d/%d | Train Loss: %.4f | Train %s: %.4f | "
+                "Val Loss: %.4f | Val %s: %.4f | LR: %.2e",
+                epoch + 1, tcfg.epochs, train_loss, self.metric_name, train_map,
+                val_loss, self.metric_name, val_map, lr,
             )
         self.writer.close()
         logging.info("training complete in %.2f minutes", (time.time() - start) / 60)
@@ -365,7 +374,7 @@ class TFAMTester:
                 }
                 results["videos"].append(rec)
         results["metrics"]["loss"] = total_loss / max(n, 1)
-        results["metrics"]["mAP"] = self.t.metric.compute()
+        results["metrics"][self.t.metric_name] = self.t.metric.compute()
         if save_predictions:
             os.makedirs(self.results_dir, exist_ok=True)
             out = os.path.join(
@@ -383,8 +392,9 @@ class TFAMTester:
         print("\n" + "=" * 60)
         print(f"Evaluation summary ({results['config']['timestamp']})")
         print("=" * 60)
+        name = self.t.metric_name
         print(f"Loss: {results['metrics']['loss']:.4f}")
-        print(f"mAP:  {results['metrics']['mAP']:.4f}")
+        print(f"{name}:  {results['metrics'][name]:.4f}")
         print(f"Videos evaluated: {len(results['videos'])}")
         for video in results["videos"][:3]:
             print(f"\nVideo ID: {video['video_id']}")
