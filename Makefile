@@ -1,4 +1,4 @@
-.PHONY: test tpu-test native bench graft-check clean
+.PHONY: test tpu-test native bench graft-check sweep clean
 
 test:
 	python -m pytest tests/ -q
@@ -13,6 +13,11 @@ native:
 
 bench:
 	python bench.py
+
+# full 21-config Table-2 sweep on a synthetic cascade corpus (~6 min, CPU);
+# rewrites the committed SWEEP.json artifact
+sweep:
+	python tools/run_table2_sweep.py --out SWEEP.json
 
 graft-check:
 	python __graft_entry__.py

@@ -35,6 +35,94 @@ def test_sweep_generator_writes_loadable_configs(tmp_path):
     assert {c.model.mlp_dropout for c in cfgs} == {0.1, 0.3}
 
 
+# Field-by-field pin of every reference sweep config's override set vs
+# config_default.yaml (TFAM/cfg_AK/config_{1..20}.yaml). Extracted literally
+# from the reference tree; training.model_path is excluded as a dead key
+# (the loader hardcodes checkpoint_dir/best_model.pth,
+# TFAM/train_and_eval.py:187-188). config_1 re-runs default; config_20
+# re-runs config_2 (reference duplicates, preserved).
+_VENDORED_REFERENCE_OVERRIDES: list[dict] = [
+    {},
+    {},
+    {"model": {"dropout": 0.2, "mlp_dropout": 0.3}},
+    {"training": {"batch_size": 4}, "model": {"use_cross_attention": False}},
+    {"model": {"use_cross_attention": False, "concat_dim": -1}},
+    {"training": {"batch_size": 4},
+     "model": {"use_cross_attention": False, "use_pe": True}},
+    {"model": {"use_cross_attention": False, "use_pe": True, "concat_dim": -1}},
+    {"model": {"use_cross_attention": False, "use_only_rgb": True}},
+    {"model": {"use_cross_attention": False, "use_only_flow": True}},
+    {"model": {"use_cross_attention": False, "use_only_rgb": True,
+               "use_pe": True}},
+    {"model": {"use_cross_attention": False, "use_only_flow": True,
+               "use_pe": True}},
+    {"training": {"batch_size": 4},
+     "model": {"use_cross_attention": False, "dropout": 0.2,
+               "mlp_dropout": 0.3}},
+    {"model": {"use_cross_attention": False, "concat_dim": -1,
+               "dropout": 0.2, "mlp_dropout": 0.3}},
+    {"model": {"use_cross_attention": False, "use_only_rgb": True,
+               "dropout": 0.2, "mlp_dropout": 0.3}},
+    {"model": {"use_cross_attention": False, "use_only_flow": True,
+               "dropout": 0.2, "mlp_dropout": 0.3}},
+    {"model": {"use_cross_attention": False, "use_only_rgb": True,
+               "use_pe": True, "dropout": 0.2, "mlp_dropout": 0.3}},
+    {"model": {"use_cross_attention": False, "use_only_flow": True,
+               "use_pe": True, "dropout": 0.2, "mlp_dropout": 0.3}},
+    {"training": {"batch_size": 4},
+     "model": {"use_cross_attention": False, "use_pe": True,
+               "dropout": 0.2, "mlp_dropout": 0.3}},
+    {"model": {"use_cross_attention": False, "use_pe": True,
+               "concat_dim": -1, "dropout": 0.2, "mlp_dropout": 0.3}},
+    {"model": {"use_pe": True}},
+    {"model": {"dropout": 0.2, "mlp_dropout": 0.3}},
+]
+
+_REFERENCE_CFG_DIR = "/root/reference/TFAM/cfg_AK"
+
+
+def test_reference_grid_matches_vendored_yamls():
+    """21-way equivalence: REFERENCE_GRID == the literal reference sweep,
+    config by config, field by field — grid drift vs the paper's actual
+    Table-2 sweep is impossible."""
+    assert REFERENCE_GRID == _VENDORED_REFERENCE_OVERRIDES
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REFERENCE_CFG_DIR),
+    reason="reference tree not present on this machine",
+)
+def test_vendored_overrides_match_reference_tree():
+    """On rigs that carry the reference checkout, re-derive each config's
+    override set from the actual YAML files and compare — proving the
+    in-repo pin itself is faithful."""
+    import yaml
+
+    with open(os.path.join(_REFERENCE_CFG_DIR, "config_default.yaml")) as f:
+        base = yaml.safe_load(f)
+
+    def overrides(cfg: dict) -> dict:
+        out: dict = {}
+        for sec in ("training", "model"):
+            delta = {
+                k: v for k, v in cfg.get(sec, {}).items()
+                if base[sec].get(k) != v and k != "model_path"
+            }
+            if delta:
+                out[sec] = delta
+        return out
+
+    names = ["config_default"] + [f"config_{i}" for i in range(1, 21)]
+    for name, expected in zip(names, _VENDORED_REFERENCE_OVERRIDES):
+        with open(os.path.join(_REFERENCE_CFG_DIR, f"{name}.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        assert overrides(cfg) == expected, name
+        # nothing outside training/model varies across the sweep
+        for sec in cfg:
+            if sec not in ("training", "model"):
+                assert cfg[sec] == base.get(sec), (name, sec)
+
+
 def test_base_config_matches_reference_schema():
     cfg = base_config()
     assert set(cfg) == {"training", "logging", "data", "model"}
@@ -187,7 +275,7 @@ def test_sweep_runner_end_to_end(tmp_path, mesh8, monkeypatch):
     cfg_dir = tmp_path / "cfgs"
     cfg_dir.mkdir()
     base = {
-        "training": {"mode": "train", "seed": 49, "lr": 1e-3, "epochs": 1,
+        "training": {"mode": "both", "seed": 49, "lr": 1e-3, "epochs": 1,
                      "batch_size": 4, "num_workers": 1,
                      "data_parallel": 4, "model_parallel": 2},
         "logging": {"log_dir": "logs", "checkpoint_dir": "ckpt"},
@@ -206,7 +294,11 @@ def test_sweep_runner_end_to_end(tmp_path, mesh8, monkeypatch):
     monkeypatch.chdir(tmp_path)
     results = run(str(cfg_dir), str(tmp_path / "sweep.json"))
     assert len(results) == 2
+    assert all(r["status"] == "ok" for r in results)
     assert all(0.0 <= r["best_val_mAP"] <= 1.0 for r in results)
+    # mode=both: each config also evaluated its best checkpoint
+    assert all(np.isfinite(r["eval_loss"]) for r in results)
+    assert all(0.0 <= r["eval_mAP"] <= 1.0 for r in results)
     import json
 
     saved = json.load(open(tmp_path / "sweep.json"))

@@ -209,7 +209,11 @@ class ViMoCLIPPredictor:
         for i, frames in enumerate(videos):
             groups.setdefault(tuple(frames.shape[1:3]), []).append(i)
         for idxs in groups.values():
-            pooled = np.concatenate([videos[i] for i in idxs])
+            stacks = [videos[i] for i in idxs]
+            # device-resident inputs concatenate on their own device (the
+            # whole point of pooling is to avoid host round-trips)
+            cat = np if isinstance(stacks[0], np.ndarray) else jnp
+            pooled = cat.concatenate(stacks)
             rgb_all, diff_all = self.embed_video(pooled)
             ofs = 0
             for i in idxs:
