@@ -229,10 +229,22 @@ class ViMoCLIPPredictor:
         top_k: int = 5,
         max_frames: int | None = None,
     ) -> list[Prediction]:
-        """Serve a batch of videos: frames of all clips share the embedding
-        batches (pooled per resolution, one tail pad per group), and the
-        fusion step runs once over the padded batch."""
+        """Serve a batch of video files: frames of all clips share the
+        embedding batches (pooled per resolution, one tail pad per group),
+        and the fusion step runs once over the padded batch."""
         videos = [read_video(p, max_frames=max_frames) for p in video_paths]
+        return self.predict_videos(videos, video_paths, top_k=top_k)
+
+    def predict_videos(
+        self,
+        videos: list[np.ndarray],
+        video_ids: list[str] | None = None,
+        top_k: int = 5,
+    ) -> list[Prediction]:
+        """The decoded-frames entry of :meth:`predict_batch` — in-memory
+        (T, H, W, 3) uint8 stacks (host numpy or device arrays) through the
+        pooled embedding path plus one batched fusion call."""
+        video_ids = video_ids or [f"video_{i}" for i in range(len(videos))]
         embs = self._embed_videos_pooled(videos)
 
         t_r = round_up_bucket(max(len(r) for r, _ in embs),
@@ -254,10 +266,10 @@ class ViMoCLIPPredictor:
                        jnp.asarray(mask_r), jnp.asarray(mask_m))
         )
         out = []
-        for i, path in enumerate(video_paths):
+        for i, vid in enumerate(video_ids):
             order = np.argsort(probs[i])[::-1][:top_k]
             top = [(int(c), self.class_names.get(int(c), f"class_{c}"),
                     float(probs[i, c])) for c in order]
-            out.append(Prediction(video_id=path, top_classes=top,
+            out.append(Prediction(video_id=vid, top_classes=top,
                                   probabilities=probs[i]))
         return out
