@@ -12,6 +12,9 @@
 4. **Serving**: warm single-video latency (450 frames @ 360x640, host
    frames in -> prediction out) and pooled-vs-serial multi-video
    throughput through ViMoCLIPPredictor.
+5. **tpu_test**: runs the hardware-only Pallas suite (on-chip PRNG dropout
+   statistics) in a subprocess and records pass/fail, so every BENCH_r*.json
+   doubles as the TPUTEST artifact.
 
 Timing methodology (tunnel-proof, CLAUDE.md): on this rig the TPU is reached
 through a tunnel where ``block_until_ready`` does not block and large
@@ -397,6 +400,46 @@ def bench_serving(jax, jnp):
     }
 
 
+def bench_tpu_test(jax) -> dict:
+    """Run the hardware-only Pallas suite (tests/test_pallas_tpu.py: on-chip
+    PRNG keep-rate statistics, seed determinism, fwd/bwd mask
+    bit-consistency, compiled numerics vs an f64 oracle) and record the
+    verdict — VERDICT r2 asked for driver-captured evidence that this suite
+    actually ran, not a manual `make tpu-test` claim."""
+    import os
+    import re
+    import subprocess
+
+    if jax.default_backend() != "tpu":
+        return {"status": "skipped", "reason": "default backend is not tpu"}
+    env = dict(os.environ)
+    env["VIMO_TPU_TESTS"] = "1"  # conftest: leave the platform alone
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vimo_jax_cache")
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_pallas_tpu.py",
+         "-q", "--no-header", "-p", "no:cacheprovider"],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    lines = proc.stdout.strip().splitlines() or [""]
+    tail = next(
+        (ln for ln in reversed(lines) if re.search(r"\d+ (passed|failed)", ln)),
+        lines[-1],
+    )
+    counts = dict(
+        (kind, int(n))
+        for n, kind in re.findall(r"(\d+) (passed|failed|error|skipped)", tail)
+    )
+    return {
+        "status": "passed" if proc.returncode == 0 else "FAILED",
+        "returncode": proc.returncode,
+        "summary": tail[:200],
+        "duration_s": time.perf_counter() - t0,
+        **counts,
+    }
+
+
 def _round(tree, nd=3):
     if isinstance(tree, dict):
         return {k: _round(v, nd) for k, v in tree.items()}
@@ -434,6 +477,10 @@ def main() -> None:
         serving = bench_serving(jax, jnp)
     except Exception as e:
         serving = {"error": str(e)[:300]}
+    try:
+        tpu_test = bench_tpu_test(jax)
+    except Exception as e:
+        tpu_test = {"status": "FAILED", "error": str(e)[:300]}
 
     result = {
         "metric": "clip_vit_b16_extraction_throughput",
@@ -452,6 +499,7 @@ def main() -> None:
             "tfam_train_step": tfam,
             "student_train_step": student,
             "serving": serving,
+            "tpu_test": tpu_test,
             "note": "baseline = reference hot-loop structure (serial PIL "
                     "preprocess + device forward) on this host; reference "
                     "publishes no throughput numbers (BASELINE.md). MFU vs "

@@ -128,6 +128,36 @@ def test_preprocess_then_encoder_embedding_parity():
     assert cos.min() > 0.9995, cos
 
 
+@pytest.mark.parametrize(
+    "hw",
+    [(360, 640), (640, 360), (100, 80), (224, 224), (224, 300), (301, 513)],
+)
+def test_clip_preprocess_crop_aware_matches_compositional(hw):
+    """The crop-aware fused resize (weight-matrix column slicing +
+    nonzero-input windowing, docs/PERF.md) must reproduce the compositional
+    resize -> center-crop -> normalize path: identical geometry, values
+    within einsum contraction-order rounding (~2e-3 of 0..255 before
+    normalization -> ~3e-5 after)."""
+    h, w = hw
+    rng = np.random.default_rng(h * 1000 + w)
+    frames = rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+
+    ref = normalize(
+        center_crop(resize_shortest_edge(jnp.asarray(frames), 224), 224)
+    )
+    got = clip_preprocess(jnp.asarray(frames))
+    assert got.shape == (2, 224, 224, 3)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
+
+
+def test_clip_preprocess_jit_and_dtype():
+    frames = np.zeros((1, 360, 640, 3), dtype=np.uint8)
+    out = jax.jit(lambda f: clip_preprocess(f, 224, jnp.bfloat16))(
+        jnp.asarray(frames)
+    )
+    assert out.dtype == jnp.bfloat16 and out.shape == (1, 224, 224, 3)
+
+
 # ---------------------------------------------------------------------------
 # thin (8-bit-mask) dropout — ops/dropout.py
 # ---------------------------------------------------------------------------

@@ -48,6 +48,11 @@ class ClipVisionConfig:
     projection_dim: int = 512
     layer_norm_eps: float = 1e-5
     hidden_act: str = "quick_gelu"
+    # Attention implementation for the encoder blocks ("xla" | "flash" |
+    # "auto", see ops.attention.MultiHeadAttention). "xla" is the parity
+    # default: at the ViT's t=197 the XLA path wins (docs/PERF.md crossover
+    # + the extraction A/B in the optimization ledger).
+    attention_impl: str = "xla"
 
     @property
     def num_patches(self) -> int:
@@ -81,7 +86,8 @@ class ClipEncoderLayer(nn.Module):
         )
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm1")(x)
         h = MultiHeadAttention(
-            cfg.hidden_size, cfg.num_heads, dtype=self.dtype, name="attn"
+            cfg.hidden_size, cfg.num_heads, dtype=self.dtype,
+            implementation=cfg.attention_impl, name="attn"
         )(h, deterministic=True)
         x = x + h
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm2")(x)

@@ -20,8 +20,24 @@ bandwidth-bound tail.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+try:  # pragma: no cover - import guard exercised by the fallback test
+    # Private jax internals, pinned by test_preprocess fused-path tests: the
+    # exact weight matrices jax.image.resize contracts with. If a future jax
+    # moves them, clip_preprocess falls back to resize+crop (same numerics,
+    # ~44% more resize FLOPs on the cropped axis).
+    from jax._src.image.scale import ResizeMethod as _ResizeMethod
+    from jax._src.image.scale import _kernels as _resize_kernels
+    from jax._src.image.scale import compute_weight_mat as _compute_weight_mat
+
+    _HAVE_WEIGHT_MAT = True
+except Exception:  # pragma: no cover
+    _HAVE_WEIGHT_MAT = False
 
 # OpenAI CLIP normalization constants (student_model preprocess /
 # CLIPImageProcessor for openai/clip-vit-*).
@@ -67,6 +83,50 @@ def normalize(images: jax.Array, mean=CLIP_MEAN, std=CLIP_STD) -> jax.Array:
     return (images - mean) / std
 
 
+@functools.lru_cache(maxsize=32)
+def _crop_resize_weights(h: int, w: int, size: int):
+    """Static (host-side) weight matrices for resize-shortest-edge +
+    center-crop, with the crop folded into the resize.
+
+    The bicubic antialiased resize is a separable linear map (one weight
+    matrix per axis — exactly how jax.image.resize lowers, via
+    ``compute_weight_mat``), so center-cropping its output equals slicing
+    the long axis' weight-matrix COLUMNS, and input rows with all-zero
+    weights (the pixels the crop never samples) can be sliced off before
+    the contraction. At the pipeline's 360x640 -> 224 geometry this removes
+    ~44% of the resize FLOPs and ~43% of the resized pixels' HBM traffic
+    (extraction trace, docs/PERF.md).
+
+    Returns ((wh, h0, h1), (ww, w0, w1)) per axis: weight matrix (or None
+    for a no-op axis) over the input window [x0, x1).
+    """
+    if h <= w:
+        new_h, new_w = size, max(size, int(round(w * size / h)))
+    else:
+        new_h, new_w = max(size, int(round(h * size / w))), size
+    kernel = _resize_kernels[_ResizeMethod.CUBIC]
+
+    def axis(m: int, n: int) -> tuple[np.ndarray | None, int, int]:
+        if m == n == size:
+            return None, 0, m
+        # shapes are static, so the weights are compile-time constants —
+        # ensure_compile_time_eval keeps them concrete even when the first
+        # call happens inside a jit/scan trace (lru_cache then serves every
+        # later trace)
+        with jax.ensure_compile_time_eval():
+            mat = np.asarray(
+                _compute_weight_mat(m, n, n / m, 0.0, kernel, True), np.float32
+            )
+        if n != size:  # fold the center crop into the columns
+            lo = int(round((n - size) / 2.0))
+            mat = mat[:, lo : lo + size]
+        nz = np.nonzero(np.abs(mat).sum(axis=1))[0]
+        x0, x1 = int(nz[0]), int(nz[-1]) + 1
+        return mat[x0:x1], x0, x1
+
+    return axis(h, new_h), axis(w, new_w)
+
+
 def clip_preprocess(
     frames: jax.Array, image_size: int = 224, dtype: jnp.dtype = jnp.float32
 ) -> jax.Array:
@@ -76,9 +136,32 @@ def clip_preprocess(
     (Resize(224, BICUBIC) -> CenterCrop(224) -> ToTensor -> Normalize), run
     as one fused XLA program over the whole batch. Returns (B, S, S, 3)
     ``dtype`` images ready for ClipVisionEncoder.
+
+    The resize+crop runs crop-aware (``_crop_resize_weights``): identical
+    weights to jax.image.resize, crop folded in, never computing the pixels
+    the crop discards (max |delta| vs the compositional path is ~2e-3 in
+    0..255 units — einsum contraction-order rounding, far inside the PIL
+    parity tolerance; pinned by tests).
     """
-    x = resize_shortest_edge(frames, image_size)
-    x = center_crop(x, image_size)
+    if not _HAVE_WEIGHT_MAT:  # pragma: no cover - jax-internals fallback
+        x = resize_shortest_edge(frames, image_size)
+        x = center_crop(x, image_size)
+        return normalize(x).astype(dtype)
+
+    (wh, h0, h1), (ww, w0, w1) = _crop_resize_weights(
+        frames.shape[1], frames.shape[2], image_size
+    )
+    x = frames[:, h0:h1, w0:w1, :].astype(jnp.float32)
+    # precision matches jax.image.resize's default (HIGHEST)
+    if wh is not None and ww is not None:
+        x = jnp.einsum(
+            "bhwc,hH,wW->bHWc", x, jnp.asarray(wh), jnp.asarray(ww),
+            precision="highest",
+        )
+    elif wh is not None:
+        x = jnp.einsum("bhwc,hH->bHwc", x, jnp.asarray(wh), precision="highest")
+    elif ww is not None:
+        x = jnp.einsum("bhwc,wW->bhWc", x, jnp.asarray(ww), precision="highest")
     return normalize(x).astype(dtype)
 
 
