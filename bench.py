@@ -272,9 +272,15 @@ def bench_student_train(jax, jnp):
     def timed(params, opt, frames, teacher, labels):
         def body(carry, i):
             p, o = carry
+            # perturb one pixel per iteration: the preprocess (resize +
+            # normalize) is params-independent, so with loop-invariant
+            # frames XLA may hoist it out of the scan and the bench would
+            # understate the real per-step cost (extraction bench does the
+            # same; verified no-hoist by A/B on the chip, docs/PERF.md)
+            fr = frames.at[0, 0, 0, 0, 0].set(i.astype(jnp.uint8))
 
             def loss_fn(p):
-                _, distill, logits = model.apply({"params": p}, frames)
+                _, distill, logits = model.apply({"params": p}, fr)
                 d = losses.distillation_loss(distill, teacher, "cosine")
                 c = losses.classification_loss(logits, labels, 9.0)
                 return d + c

@@ -158,6 +158,25 @@ def test_clip_preprocess_jit_and_dtype():
     assert out.dtype == jnp.bfloat16 and out.shape == (1, 224, 224, 3)
 
 
+@pytest.mark.parametrize("hw", [(360, 640), (100, 80), (224, 300)])
+def test_clip_preprocess_bf16_fast_path_matches_f32(hw):
+    """bf16 output requests take the single-MXU-pass bf16 contraction
+    (docs/PERF.md ledger #14); only the resize weights' bf16 rounding
+    (~0.4% relative) separates it from the f32-`highest` parity path —
+    inputs are exact in bf16 (uint8 <= 255) and the MXU accumulates in
+    f32. Normalized units: std ~0.27 -> bound ~0.03."""
+    h, w = hw
+    rng = np.random.default_rng(h * 7 + w)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+    )
+    ref = np.asarray(clip_preprocess(frames, 224, jnp.float32))
+    got = np.asarray(clip_preprocess(frames, 224, jnp.bfloat16)).astype(
+        np.float32
+    )
+    assert np.abs(ref - got).max() < 0.05, np.abs(ref - got).max()
+
+
 # ---------------------------------------------------------------------------
 # thin (8-bit-mask) dropout — ops/dropout.py
 # ---------------------------------------------------------------------------

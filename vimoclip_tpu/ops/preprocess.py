@@ -142,6 +142,20 @@ def clip_preprocess(
     the crop discards (max |delta| vs the compositional path is ~2e-3 in
     0..255 units — einsum contraction-order rounding, far inside the PIL
     parity tolerance; pinned by tests).
+
+    Contraction precision follows ``dtype``: when the caller asks for bf16
+    output (every hot path — extraction, student train, serving feed the
+    encoder in bf16), the resize einsum runs bf16-in/bf16-out at default
+    precision — a single MXU pass (the MXU accumulates partials in f32
+    internally; only the weights' bf16 rounding, ~0.4% relative, plus one
+    bf16 output rounding enter — and a resize row has only ~4 nonzero
+    taps, so accumulation-order error is negligible). The f32-``highest``
+    path (6-pass f32 emulation, what jax.image.resize defaults to) is kept
+    for f32 output — the numerical-parity surface. Measured on the chip:
+    student train step 69.3 -> 68.2 ms, extraction batch 39.7 -> 38.9 ms
+    (docs/PERF.md ledger #14). bf16-out (rather than f32-accumulate-out)
+    is also what the CPU executor supports, so the CI parity test runs
+    this exact path.
     """
     if not _HAVE_WEIGHT_MAT:  # pragma: no cover - jax-internals fallback
         x = resize_shortest_edge(frames, image_size)
@@ -151,17 +165,21 @@ def clip_preprocess(
     (wh, h0, h1), (ww, w0, w1) = _crop_resize_weights(
         frames.shape[1], frames.shape[2], image_size
     )
-    x = frames[:, h0:h1, w0:w1, :].astype(jnp.float32)
-    # precision matches jax.image.resize's default (HIGHEST)
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        cdtype, precision = jnp.bfloat16, "default"
+    else:
+        # matches jax.image.resize's default (HIGHEST)
+        cdtype, precision = jnp.float32, "highest"
+    x = frames[:, h0:h1, w0:w1, :].astype(cdtype)
+    cast = lambda m: jnp.asarray(m, dtype=cdtype)
     if wh is not None and ww is not None:
         x = jnp.einsum(
-            "bhwc,hH,wW->bHWc", x, jnp.asarray(wh), jnp.asarray(ww),
-            precision="highest",
+            "bhwc,hH,wW->bHWc", x, cast(wh), cast(ww), precision=precision
         )
     elif wh is not None:
-        x = jnp.einsum("bhwc,hH->bHwc", x, jnp.asarray(wh), precision="highest")
+        x = jnp.einsum("bhwc,hH->bHwc", x, cast(wh), precision=precision)
     elif ww is not None:
-        x = jnp.einsum("bhwc,wW->bhWc", x, jnp.asarray(ww), precision="highest")
+        x = jnp.einsum("bhwc,wW->bhWc", x, cast(ww), precision=precision)
     return normalize(x).astype(dtype)
 
 
