@@ -1,0 +1,267 @@
+"""Sequence (context) parallelism: ring attention over the ``seq`` mesh axis.
+
+The reference has no cross-device sequence sharding (SURVEY.md §2.3) — this
+is the TPU-native scale-out headroom for videos whose attention state
+outgrows one chip (docs/SCALING.md "Long videos"). Oracle: the unsharded
+XLA attention path (ops/attention.py), which itself carries torch parity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vimoclip_tpu.ops.attention import dot_product_attention
+from vimoclip_tpu.parallel import MeshConfig, create_mesh
+from vimoclip_tpu.parallel.sequence import sequence_parallel_attention
+
+
+def _qkv(key, b=2, h=4, t=32, d=16, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, t, d), dtype)
+    k = jax.random.normal(kk, (b, h, t, d), dtype)
+    v = jax.random.normal(kv, (b, h, t, d), dtype)
+    return q, k, v
+
+
+def _ragged_mask(key, b, t):
+    """True = ignore key (torch convention): random tail padding per row,
+    always >= 1 real key."""
+    lengths = jax.random.randint(key, (b,), 1, t + 1)
+    return jnp.arange(t)[None, :] >= lengths[:, None]
+
+
+@pytest.fixture(scope="module")
+def seq_mesh(devices):
+    return Mesh(np.asarray(devices).reshape(8), axis_names=("seq",))
+
+
+@pytest.mark.parametrize("strategy", ["ring", "allgather"])
+def test_matches_unsharded_dense(seq_mesh, strategy):
+    q, k, v = _qkv(jax.random.key(0))
+    expect = dot_product_attention(q, k, v)
+    got = sequence_parallel_attention(q, k, v, seq_mesh, strategy=strategy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+
+@pytest.mark.parametrize("strategy", ["ring", "allgather"])
+def test_key_padding_mask_parity(seq_mesh, strategy):
+    q, k, v = _qkv(jax.random.key(1))
+    mask = _ragged_mask(jax.random.key(2), q.shape[0], k.shape[2])
+    expect = dot_product_attention(q, k, v, key_padding_mask=mask)
+    got = sequence_parallel_attention(
+        q, k, v, seq_mesh, key_padding_mask=mask, strategy=strategy
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+
+def test_fully_padded_shard_is_nan_free(seq_mesh):
+    """A mask whose padding spans entire seq shards (t=32 over 8 devices =
+    4-frame blocks; length 5 pads the last 6 shards completely) must stay
+    finite — the large-finite _MASK_VALUE contract of ops/attention.py."""
+    q, k, v = _qkv(jax.random.key(3))
+    mask = jnp.arange(32)[None, :] >= jnp.array([5, 32])[:, None]
+    mask = mask.at[1, :].set(jnp.arange(32) >= 1)  # row with 1 real key
+    got = sequence_parallel_attention(q, k, v, seq_mesh, key_padding_mask=mask)
+    expect = dot_product_attention(q, k, v, key_padding_mask=mask)
+    assert bool(jnp.isfinite(got).all())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+
+def test_bf16_inputs(seq_mesh):
+    q, k, v = _qkv(jax.random.key(4), dtype=jnp.bfloat16)
+    expect = dot_product_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    got = sequence_parallel_attention(q, k, v, seq_mesh, strategy="ring")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expect), atol=0.04
+    )
+
+
+def test_ring_gradients_match_dense(seq_mesh):
+    """ppermute/scan/checkpoint chain is differentiable and grads match the
+    unsharded path — ring is a training-capable op, not inference-only."""
+    q, k, v = _qkv(jax.random.key(5))
+    mask = _ragged_mask(jax.random.key(6), q.shape[0], k.shape[2])
+
+    def loss_ring(q, k, v):
+        out = sequence_parallel_attention(q, k, v, seq_mesh, key_padding_mask=mask)
+        return (out**2).sum()
+
+    def loss_dense(q, k, v):
+        return (dot_product_attention(q, k, v, key_padding_mask=mask) ** 2).sum()
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for gr, gd in zip(g_ring, g_dense):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gd), atol=1e-4)
+
+
+def test_composes_with_data_axis(devices):
+    """batch over data x time over seq on one mesh — DP + SP together."""
+    mesh = create_mesh(MeshConfig(data_parallel=2, seq_parallel=4))
+    assert dict(mesh.shape) == {"data": 2, "model": 1, "seq": 4}
+    q, k, v = _qkv(jax.random.key(7), b=4, t=24)
+    mask = _ragged_mask(jax.random.key(8), 4, 24)
+    # pre-shard inputs the way a sharded pipeline would hand them over
+    qkv_sh = NamedSharding(mesh, P("data", None, "seq", None))
+    q, k, v = (jax.device_put(x, qkv_sh) for x in (q, k, v))
+    mask_d = jax.device_put(mask, NamedSharding(mesh, P("data", "seq")))
+    got = sequence_parallel_attention(
+        q, k, v, mesh, key_padding_mask=mask_d, batch_axis="data"
+    )
+    expect = dot_product_attention(
+        jax.device_get(q), jax.device_get(k), jax.device_get(v),
+        key_padding_mask=mask,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+
+def test_jit_under_mesh(seq_mesh):
+    """The global-view op jits like any other building block."""
+    q, k, v = _qkv(jax.random.key(9))
+
+    @jax.jit
+    def f(q, k, v):
+        return sequence_parallel_attention(q, k, v, seq_mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(f(q, k, v)),
+        np.asarray(dot_product_attention(q, k, v)),
+        atol=1e-5,
+    )
+
+
+def test_validation_errors(seq_mesh):
+    q, k, v = _qkv(jax.random.key(10), t=30)  # 30 % 8 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        sequence_parallel_attention(q, k, v, seq_mesh)
+    q, k, v = _qkv(jax.random.key(11))
+    with pytest.raises(ValueError, match="dropout"):
+        sequence_parallel_attention(q, k, v, seq_mesh, dropout_rate=0.1)
+    with pytest.raises(ValueError, match="strategy"):
+        sequence_parallel_attention(q, k, v, seq_mesh, strategy="nope")
+    mesh2d = create_mesh(MeshConfig(8, 1))
+    with pytest.raises(ValueError, match="no 'seq' axis"):
+        sequence_parallel_attention(q, k, v, mesh2d)
+
+
+class TestTFAMRing:
+    """attention_impl="ring" threads through the full fusion model: the
+    flagship TFAM forward runs with time sharded over the seq axis and
+    reproduces the unsharded XLA path (model-level integration of
+    parallel/sequence.py; docs/SCALING.md "Long videos")."""
+
+    def _inputs(self, b=2, t=32, d=512):
+        key = jax.random.key(42)
+        kr, km, kl = jax.random.split(key, 3)
+        rgb = jax.random.normal(kr, (b, t, d), jnp.float32)
+        motion = jax.random.normal(km, (b, t, d), jnp.float32)
+        # bucketed layout: both streams padded to t; motion has T-1 real rows
+        lengths = jnp.array([t - 3, t // 2])
+        mask_rgb = jnp.arange(t)[None, :] < lengths[:, None]
+        mask_flow = jnp.arange(t)[None, :] < (lengths - 1)[:, None]
+        return rgb, motion, mask_rgb, mask_flow
+
+    @pytest.mark.parametrize(
+        "mode",
+        ["cross", "rgb_only", "flow_only", "concat_t", "concat_c"],
+    )
+    def test_all_fusion_modes_match_xla(self, seq_mesh, mode):
+        from vimoclip_tpu.config import TFAMModelConfig
+        from vimoclip_tpu.models.tfam import TFAM
+
+        flags = {
+            "cross": dict(use_cross_attention=True),
+            "rgb_only": dict(use_cross_attention=False, use_only_rgb=True),
+            "flow_only": dict(use_cross_attention=False, use_only_flow=True),
+            "concat_t": dict(use_cross_attention=False, concat_dim=1),
+            "concat_c": dict(use_cross_attention=False, concat_dim=-1),
+        }[mode]
+        # ring needs the post-mode sequence length divisible by n_seq=8:
+        # concat_c runs attention over min(T_rgb - 1, T_mot) positions and
+        # concat_t over (T_rgb - 1) + T_mot — pick input lengths per mode
+        # (real pipelines pick their length buckets the same way).
+        rgb, motion, mask_rgb, mask_flow = self._inputs(
+            t=33 if mode == "concat_c" else 32
+        )
+        if mode == "concat_t":
+            rgb, mask_rgb = rgb[:, :-7], mask_rgb[:, :-7]
+
+        def build(impl, mesh=None):
+            cfg = TFAMModelConfig(
+                num_layers=2, dim_feedforward=256, dropout=0.0,
+                mlp_dropout=0.0, attention_impl=impl, **flags,
+            )
+            return TFAM(cfg, num_classes=10, seq_mesh=mesh)
+
+        params = build("xla").init(
+            jax.random.key(0), rgb, motion, mask_rgb, mask_flow
+        )
+        expect = build("xla").apply(params, rgb, motion, mask_rgb, mask_flow)
+        got = build("ring", seq_mesh).apply(
+            params, rgb, motion, mask_rgb, mask_flow
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), atol=2e-5
+        )
+
+    def test_jits_with_sharded_inputs(self, seq_mesh):
+        """The ring TFAM compiles under jit with inputs device_put onto the
+        seq axis — the actual serving usage for beyond-HBM videos."""
+        from vimoclip_tpu.config import TFAMModelConfig
+        from vimoclip_tpu.models.tfam import TFAM
+
+        rgb, motion, mask_rgb, mask_flow = self._inputs()
+        cfg = TFAMModelConfig(
+            num_layers=1, dim_feedforward=128, dropout=0.0, mlp_dropout=0.0,
+            attention_impl="ring",
+        )
+        model = TFAM(cfg, num_classes=10, seq_mesh=seq_mesh)
+        params = model.init(jax.random.key(0), rgb, motion, mask_rgb, mask_flow)
+        sh = NamedSharding(seq_mesh, P(None, "seq", None))
+        rgb_s = jax.device_put(rgb, sh)
+        motion_s = jax.device_put(motion, sh)
+        out = jax.jit(model.apply)(params, rgb_s, motion_s, mask_rgb, mask_flow)
+        ref_cfg = TFAMModelConfig(
+            num_layers=1, dim_feedforward=128, dropout=0.0, mlp_dropout=0.0,
+            attention_impl="xla",
+        )
+        expect = TFAM(ref_cfg, num_classes=10).apply(
+            params, rgb, motion, mask_rgb, mask_flow
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=2e-5)
+
+    def test_ring_requires_mesh_and_rejects_dropout(self, seq_mesh):
+        from vimoclip_tpu.config import TFAMModelConfig
+        from vimoclip_tpu.models.tfam import TFAM
+
+        rgb, motion, mask_rgb, mask_flow = self._inputs()
+        no_mesh = TFAM(
+            TFAMModelConfig(num_layers=1, attention_impl="ring"), num_classes=10
+        )
+        with pytest.raises(ValueError, match="seq_mesh"):
+            no_mesh.init(jax.random.key(0), rgb, motion, mask_rgb, mask_flow)
+
+        cfg = TFAMModelConfig(num_layers=1, dropout=0.2, attention_impl="ring")
+        model = TFAM(cfg, num_classes=10, seq_mesh=seq_mesh)
+        params = model.init(jax.random.key(0), rgb, motion, mask_rgb, mask_flow)
+        with pytest.raises(ValueError, match="dropout"):
+            model.apply(
+                params, rgb, motion, mask_rgb, mask_flow,
+                deterministic=False, rngs={"dropout": jax.random.key(1)},
+            )
+
+
+def test_mesh_config_seq_resolution():
+    assert MeshConfig(-1, 1, seq_parallel=4).resolve(8) == (2, 1)
+    assert MeshConfig(-1, 2, seq_parallel=2).resolve(8) == (2, 2)
+    with pytest.raises(ValueError, match="seq"):
+        MeshConfig(-1, 1, seq_parallel=3).resolve(8)
+    mesh = create_mesh(MeshConfig(1, 1, seq_parallel=8))
+    assert mesh.axis_names == ("data", "model", "seq")
+    # default stays 2-D — nothing downstream sees a new axis unasked
+    assert create_mesh(MeshConfig(8, 1)).axis_names == ("data", "model")

@@ -115,6 +115,10 @@ class TFAMModelConfig:
     # the same attention math. Multi-device meshes are fine: the kernel
     # partitions over (batch, heads) via custom_partitioning with
     # per-(row, head) dropout seeds, so sharded == unsharded bit-exactly.
+    # "ring" shards TIME over a mesh "seq" axis (sequence parallelism,
+    # parallel/sequence.py) for videos beyond one chip's HBM — inference /
+    # no-attention-dropout only; the mesh itself is passed to TFAM(...,
+    # seq_mesh=...) programmatically, never via YAML.
     attention_impl: str = "auto"
 
 

@@ -64,6 +64,10 @@ class AttentionLayer(nn.Module):
     activation: str = "relu"  # reference AttentionLayer default (AMO_CLIP.py:13)
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 matmuls; params f32)
+    # For attention_impl="ring": mesh with a "seq" axis + the batch axis name
+    # (runtime objects; threaded from TFAM, never from YAML).
+    seq_mesh: jax.sharding.Mesh | None = None
+    seq_batch_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -86,6 +90,7 @@ class AttentionLayer(nn.Module):
         attn_out = MultiHeadAttention(
             self.d_model, self.num_heads, dropout=self.dropout,
             dtype=self.dtype, implementation=self.attention_impl,
+            seq_mesh=self.seq_mesh, seq_batch_axis=self.seq_batch_axis,
             name="self_attn"
         )(x, key_padding_mask=src_key_padding_mask, deterministic=deterministic)
         x = ln("norm_self")(x + drop(attn_out))
@@ -94,6 +99,7 @@ class AttentionLayer(nn.Module):
             attn_out = MultiHeadAttention(
                 self.d_model, self.num_heads, dropout=self.dropout,
                 dtype=self.dtype, implementation=self.attention_impl,
+                seq_mesh=self.seq_mesh, seq_batch_axis=self.seq_batch_axis,
                 name="cross_attn"
             )(
                 x,
@@ -118,6 +124,12 @@ class TFAM(nn.Module):
     config: TFAMModelConfig
     num_classes: int = 140
     dtype: jnp.dtype = jnp.float32
+    # For config.attention_impl="ring" (beyond-HBM videos): the mesh whose
+    # "seq" axis shards time, plus the batch axis name. Runtime objects —
+    # serving/eval code passes them when constructing the model; YAML can
+    # select the impl but never carries the mesh (docs/SCALING.md).
+    seq_mesh: jax.sharding.Mesh | None = None
+    seq_batch_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -155,6 +167,8 @@ class TFAM(nn.Module):
                 activation=cfg.activation,
                 attention_impl=cfg.attention_impl,
                 dtype=self.dtype,
+                seq_mesh=self.seq_mesh,
+                seq_batch_axis=self.seq_batch_axis,
                 name=f"layers_{i}",
             )
             for i in range(cfg.num_layers)

@@ -98,7 +98,17 @@ class MultiHeadAttention(nn.Module):
     #   CPU (jax.default_device / device_put) it would still pick the Mosaic
     #   kernel and fail to lower — pin implementation="xla" for such
     #   off-default placements.
+    # - "ring": sequence-parallel ring attention (parallel/sequence.py) —
+    #   time sharded over ``seq_mesh``'s ``seq`` axis, K/V blocks rotated
+    #   around the ICI ring. For sequences beyond one chip's HBM; requires
+    #   ``seq_mesh`` and rejects attention dropout (docs/SCALING.md
+    #   "Long videos").
     implementation: str = "xla"
+    # Mesh for implementation="ring" (must carry a "seq" axis; batch is
+    # sharded over ``seq_batch_axis`` when set). A runtime object, so it is
+    # threaded programmatically — never from YAML config.
+    seq_mesh: jax.sharding.Mesh | None = None
+    seq_batch_axis: str | None = None
 
     # Measured on the v5e chip (docs/PERF.md "flash vs XLA crossover"):
     # with dropout active the fused-PRNG kernel wins from t=256 (and wins
@@ -146,7 +156,31 @@ class MultiHeadAttention(nn.Module):
             impl = ("flash" if k.shape[2] >= min_t
                     and jax.default_backend() == "tpu" else "xla")
 
-        if impl == "flash":
+        if impl == "ring":
+            from vimoclip_tpu.parallel.sequence import sequence_parallel_attention
+
+            if self.seq_mesh is None:
+                raise ValueError(
+                    'implementation="ring" needs seq_mesh (a Mesh with a '
+                    '"seq" axis) — it is a runtime object, pass it when '
+                    "constructing the model"
+                )
+            if attn_dropout_active:
+                raise ValueError(
+                    "ring attention does not support attention dropout — "
+                    "train single-chip sequences with implementation="
+                    '"flash"/"auto" (fused on-chip-PRNG dropout); ring is '
+                    "the beyond-HBM inference/fine-tune path"
+                )
+            out = sequence_parallel_attention(
+                q,
+                k,
+                v,
+                self.seq_mesh,
+                key_padding_mask=key_padding_mask,
+                batch_axis=self.seq_batch_axis,
+            )
+        elif impl == "flash":
             from vimoclip_tpu.ops.pallas import flash_attention
 
             if attn_dropout_active:

@@ -7,6 +7,11 @@ from vimoclip_tpu.parallel.mesh import (  # noqa: F401
     commit_replicated,
     initialize_distributed,
 )
+from vimoclip_tpu.parallel.sequence import (  # noqa: F401
+    allgather_attention,
+    ring_attention,
+    sequence_parallel_attention,
+)
 from vimoclip_tpu.parallel.partition import (  # noqa: F401
     PartitionRules,
     TFAM_PARTITION_RULES,

@@ -28,6 +28,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# Sequence (context) parallelism axis: time sharded across devices for
+# videos whose attention state outgrows one chip's HBM. Only present on the
+# mesh when MeshConfig.seq_parallel > 1 (parallel/sequence.py ring attention).
+SEQ_AXIS = "seq"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,17 +40,22 @@ class MeshConfig:
 
     data_parallel: int = -1
     model_parallel: int = 1
+    seq_parallel: int = 1
 
     def resolve(self, n_devices: int) -> tuple[int, int]:
+        sp = max(1, self.seq_parallel)
+        if n_devices % sp:
+            raise ValueError(f"{n_devices} devices not divisible by seq={sp}")
+        avail = n_devices // sp
         mp = max(1, self.model_parallel)
         dp = self.data_parallel
         if dp == -1:
-            if n_devices % mp:
-                raise ValueError(f"{n_devices} devices not divisible by model={mp}")
-            dp = n_devices // mp
-        if dp * mp > n_devices:
+            if avail % mp:
+                raise ValueError(f"{avail} devices not divisible by model={mp}")
+            dp = avail // mp
+        if dp * mp * sp > n_devices:
             raise ValueError(
-                f"mesh {dp}x{mp} exceeds available device count {n_devices}"
+                f"mesh {dp}x{mp}x{sp} exceeds available device count {n_devices}"
             )
         return dp, mp
 
@@ -64,6 +73,12 @@ def create_mesh(
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
     dp, mp = config.resolve(len(devices))
+    sp = max(1, config.seq_parallel)
+    if sp > 1:
+        # seq innermost: ring neighbours land on adjacent (ICI-adjacent)
+        # device indices, so ppermute hops are single-link.
+        dev_array = np.asarray(devices[: dp * mp * sp]).reshape(dp, mp, sp)
+        return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
     dev_array = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS))
 

@@ -1,0 +1,232 @@
+"""Sequence (context) parallelism: ring attention over a ``seq`` mesh axis.
+
+The reference handles long videos purely algorithmically on one device —
+fixed-window segmenting (/root/reference/dataset.py:33-57), chunked
+streaming (/root/reference/inference_frame_diff.py:183-227), temporal
+subsampling and padded masked batches (/root/reference/TFAM/data/dataset.py:
+7-12,76-112) — it has no cross-device sequence sharding of any kind
+(SURVEY.md §2.3). On TPU the idiomatic scale-out for sequences that outgrow
+one chip's HBM is *ring attention*: shard the time axis T over a mesh axis,
+keep Q resident, and rotate K/V blocks around the ICI ring with
+``lax.ppermute`` while accumulating attention with an online softmax — the
+same flash-attention recurrence ``ops.pallas.flash_attention`` runs over
+K *tiles*, lifted to K *shards*. Nothing (T, T)-shaped ever exists, per
+device or globally; per-step peak is O(T·T/n²) scores.
+
+Two strategies, one contract:
+
+- ``ring``: n_seq ppermute steps, O(T/n) K/V memory per device, compute
+  overlapped with the ICI transfer by XLA's latency-hiding scheduler.
+  Each step is ``jax.checkpoint``-wrapped so the backward pass re-forms
+  block scores instead of storing n of them.
+- ``allgather``: one ``all_gather`` of K/V then dense local attention —
+  exact same math with simpler scheduling; wins when T/n is small enough
+  that per-step ring latency dominates (and serves as the parity oracle
+  for ``ring`` in tests/test_sequence_parallel.py).
+
+Both are differentiable (``ppermute``/``all_gather`` have transpose rules)
+and compose with the ``data`` axis: batch sharded over ``data``, time over
+``seq``, gradient psums inserted by XLA as usual.
+
+Numerics note (verified on the v5e chip): the softmax statistics are f32
+by construction, but the QK/PV contractions follow ``precision`` — under
+TPU DEFAULT (bf16 multiplies) the blockwise accumulation order differs
+from dense attention by ~5e-3 on f32 inputs; under
+``jax.default_matmul_precision("highest")`` ring == dense to 1e-5. Same
+trade the Pallas flash kernel makes; pin precision for bit-level studies.
+
+Non-goals, documented: attention-weight dropout is not supported here
+(TFAM's dropout training regime targets sequences that fit one chip, where
+``ops.pallas.flash_attention`` fuses on-chip-PRNG dropout; ring is the
+beyond-HBM inference/fine-tune path) — callers get a loud ValueError, not
+silently-ignored dropout. Causal masking is likewise out of scope: every
+attention in this framework is bidirectional over video time
+(/root/reference/TFAM/models/AMO_CLIP.py:37-51 passes no attn_mask).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vimoclip_tpu.ops.attention import _MASK_VALUE, dot_product_attention
+from vimoclip_tpu.parallel.mesh import SEQ_AXIS
+
+
+def _block_scores(q_scaled_f32, k_blk, mask_blk, precision):
+    """(B,H,Tq,Dh) x (B,H,Tk,Dh) -> f32 (B,H,Tq,Tk) masked scores.
+
+    Inputs may be bf16; accumulation is forced to f32 so the online-softmax
+    statistics are exact regardless of input dtype (same contract as the
+    Pallas kernel, ops/pallas/flash_attention.py).
+    """
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q_scaled_f32.astype(k_blk.dtype),
+        k_blk,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    # torch key_padding_mask convention: True = IGNORE this key. Large-finite
+    # (not -inf) mirrors ops/attention.py so fully-padded blocks stay NaN-free.
+    return s + jnp.where(mask_blk[:, None, None, :], _MASK_VALUE, 0.0)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: jax.Array,
+    axis_name: str,
+    precision=None,
+) -> jax.Array:
+    """Per-shard ring attention body. Call inside ``shard_map``.
+
+    Args:
+        q: (B, H, Tq/n, Dh) local query shard (time sharded over ``axis_name``).
+        k, v: (B, H, Tk/n, Dh) local key/value shards.
+        key_padding_mask: (B, Tk/n) bool, True = ignore key (travels the ring
+            with its K/V block).
+        axis_name: mesh axis the time dimension is sharded over.
+
+    Returns:
+        (B, H, Tq/n, Dh) local output shard in ``q.dtype``.
+    """
+    n = jax.lax.axis_size(axis_name)
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
+    qf = q.astype(jnp.float32) * scale
+
+    b, h, tq, _ = q.shape
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        o, m, l, k_blk, v_blk, mask_blk = carry
+        s = _block_scores(qf, k_blk, mask_blk, precision)          # f32
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + p.sum(axis=-1)
+        pv = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            p.astype(v_blk.dtype),
+            v_blk,
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        o = o * alpha[..., None] + pv
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
+        return (o, m_new, l, k_blk, v_blk, mask_blk), None
+
+    # pcast: the literal zero/−inf inits are device-invariant, but the scan
+    # carry becomes varying after one step over every axis q varies over
+    # (``seq``, plus ``data`` etc. when composed with other parallelism) —
+    # mark them varying up front so shard_map's varying-axes check accepts
+    # the loop.
+    q_vma = tuple(jax.typeof(qf).vma)
+    varying = lambda x: jax.lax.pcast(x, q_vma, to="varying")
+    init = (
+        varying(jnp.zeros((b, h, tq, head_dim), jnp.float32)),
+        varying(jnp.full((b, h, tq), -jnp.inf, jnp.float32)),
+        varying(jnp.zeros((b, h, tq), jnp.float32)),
+        k,
+        v,
+        key_padding_mask,
+    )
+    # Remat each ring step: backward re-forms the O(Tq·Tk/n) block scores
+    # instead of keeping n of them live (jax.checkpoint — the HBM/FLOPs trade
+    # the flash kernel makes implicitly by being score-free).
+    (o, _, l, _, _, _), _ = jax.lax.scan(
+        jax.checkpoint(step), init, None, length=n
+    )
+    return (o / l[..., None]).astype(q.dtype)
+
+
+def allgather_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: jax.Array,
+    axis_name: str,
+    precision=None,
+) -> jax.Array:
+    """Per-shard all-gather attention body (exact oracle for ``ring``)."""
+    k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+    v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+    mask_full = jax.lax.all_gather(key_padding_mask, axis_name, axis=1, tiled=True)
+    return dot_product_attention(
+        q, k_full, v_full, key_padding_mask=mask_full, precision=precision
+    )
+
+
+_STRATEGIES = {"ring": ring_attention, "allgather": allgather_attention}
+
+
+def sequence_parallel_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    key_padding_mask: jax.Array | None = None,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    batch_axis: str | None = None,
+    strategy: str = "ring",
+    dropout_rate: float = 0.0,
+    precision=None,
+) -> jax.Array:
+    """Attention with the time axis sharded over ``seq_axis`` of ``mesh``.
+
+    Global-view entry point: takes full (B, H, T, Dh) arrays (or arrays
+    already sharded to match) and runs the chosen per-shard strategy under
+    ``shard_map``. Composes with data parallelism via ``batch_axis``.
+
+    Args:
+        q, k, v: (B, H, Tq, Dh) / (B, H, Tk, Dh) / (B, H, Tk, Dh).
+        mesh: mesh containing ``seq_axis`` (and ``batch_axis`` if given).
+        key_padding_mask: optional (B, Tk) bool, True = ignore key.
+        strategy: "ring" (O(T/n) memory) or "allgather" (exact, simple).
+        dropout_rate: must be 0.0 — see module docstring.
+    """
+    if dropout_rate:
+        raise ValueError(
+            "sequence-parallel attention does not support attention dropout; "
+            "use ops.pallas.flash_attention (fused on-chip-PRNG dropout) for "
+            "sequences that fit one device"
+        )
+    if strategy not in _STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r}, want {sorted(_STRATEGIES)}")
+    if seq_axis not in mesh.shape:
+        raise ValueError(f"mesh {dict(mesh.shape)} has no {seq_axis!r} axis")
+    n_seq = mesh.shape[seq_axis]
+    if q.shape[2] % n_seq or k.shape[2] % n_seq:
+        raise ValueError(
+            f"Tq={q.shape[2]}, Tk={k.shape[2]} must be divisible by the "
+            f"{seq_axis!r} axis size {n_seq} — pad to a bucket first "
+            "(data.pipeline length buckets already produce such shapes)"
+        )
+    if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"batch {q.shape[0]} not divisible by {batch_axis!r}="
+            f"{mesh.shape[batch_axis]}"
+        )
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros(k.shape[:1] + k.shape[2:3], bool)
+
+    qkv_spec = P(batch_axis, None, seq_axis, None)
+    mask_spec = P(batch_axis, seq_axis)
+    body = functools.partial(
+        _STRATEGIES[strategy], axis_name=seq_axis, precision=precision
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
+        out_specs=qkv_spec,
+    )
+    return fn(q, k, v, key_padding_mask)
