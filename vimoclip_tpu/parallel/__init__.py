@@ -12,6 +12,14 @@ from vimoclip_tpu.parallel.sequence import (  # noqa: F401
     ring_attention,
     sequence_parallel_attention,
 )
+from vimoclip_tpu.parallel.pipelining import (  # noqa: F401
+    merge_microbatches,
+    pipeline_apply,
+    split_microbatches,
+    stack_stage_params,
+    tfam_cross_pipeline_logits,
+    unstack_stage_params,
+)
 from vimoclip_tpu.parallel.partition import (  # noqa: F401
     PartitionRules,
     TFAM_PARTITION_RULES,

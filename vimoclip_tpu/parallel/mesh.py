@@ -32,6 +32,10 @@ MODEL_AXIS = "model"
 # videos whose attention state outgrows one chip's HBM. Only present on the
 # mesh when MeshConfig.seq_parallel > 1 (parallel/sequence.py ring attention).
 SEQ_AXIS = "seq"
+# Pipeline parallelism axis: transformer layers sharded into stages, GPipe
+# microbatch schedule with activations rotated stage-to-stage via ppermute
+# (parallel/pipelining.py). Only present when MeshConfig.pipeline_parallel > 1.
+PIPE_AXIS = "pipe"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,21 +45,26 @@ class MeshConfig:
     data_parallel: int = -1
     model_parallel: int = 1
     seq_parallel: int = 1
+    pipeline_parallel: int = 1
 
     def resolve(self, n_devices: int) -> tuple[int, int]:
         sp = max(1, self.seq_parallel)
-        if n_devices % sp:
-            raise ValueError(f"{n_devices} devices not divisible by seq={sp}")
-        avail = n_devices // sp
+        pp = max(1, self.pipeline_parallel)
+        if n_devices % (sp * pp):
+            raise ValueError(
+                f"{n_devices} devices not divisible by seq={sp} x pipe={pp}"
+            )
+        avail = n_devices // (sp * pp)
         mp = max(1, self.model_parallel)
         dp = self.data_parallel
         if dp == -1:
             if avail % mp:
                 raise ValueError(f"{avail} devices not divisible by model={mp}")
             dp = avail // mp
-        if dp * mp * sp > n_devices:
+        if dp * mp * sp * pp > n_devices:
             raise ValueError(
-                f"mesh {dp}x{mp}x{sp} exceeds available device count {n_devices}"
+                f"mesh {dp}x{pp}x{mp}x{sp} exceeds available device count "
+                f"{n_devices}"
             )
         return dp, mp
 
@@ -63,24 +72,36 @@ class MeshConfig:
 def create_mesh(
     config: MeshConfig | None = None, devices: list | None = None
 ) -> Mesh:
-    """Build a 2-D ``(data, model)`` mesh over the available devices.
+    """Build a ``(data[, pipe], model[, seq])`` mesh over the devices.
 
-    On a single chip this degenerates to a 1x1 mesh, so every code path in
-    the framework is mesh-aware with zero special-casing. A mesh smaller
-    than the device count uses the first dp x mp devices (debug runs on a
-    slice of the topology).
+    The base 2-D ``(data, model)`` mesh gains a ``pipe`` axis when
+    ``pipeline_parallel > 1`` and a ``seq`` axis when ``seq_parallel > 1``;
+    both are omitted otherwise so existing 2-D code sees the exact same
+    mesh as before. On a single chip this degenerates to a 1x1 mesh, so
+    every code path in the framework is mesh-aware with zero
+    special-casing. A mesh smaller than the device count uses the first
+    dp x pp x mp x sp devices (debug runs on a slice of the topology).
     """
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
     dp, mp = config.resolve(len(devices))
     sp = max(1, config.seq_parallel)
+    pp = max(1, config.pipeline_parallel)
+    # axis order = collective locality: seq innermost (ring-attention
+    # ppermute neighbours land on adjacent ICI links), model next (the
+    # densest collectives), pipe between data and model (stage-to-stage
+    # activation hops are the lightest traffic), data outermost.
+    axes = [(DATA_AXIS, dp)]
+    if pp > 1:
+        axes.append((PIPE_AXIS, pp))
+    axes.append((MODEL_AXIS, mp))
     if sp > 1:
-        # seq innermost: ring neighbours land on adjacent (ICI-adjacent)
-        # device indices, so ppermute hops are single-link.
-        dev_array = np.asarray(devices[: dp * mp * sp]).reshape(dp, mp, sp)
-        return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
-    dev_array = np.asarray(devices[: dp * mp]).reshape(dp, mp)
-    return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS))
+        axes.append((SEQ_AXIS, sp))
+    names = tuple(n for n, _ in axes)
+    sizes = tuple(s for _, s in axes)
+    n_used = int(np.prod(sizes))
+    dev_array = np.asarray(devices[:n_used]).reshape(sizes)
+    return Mesh(dev_array, axis_names=names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
