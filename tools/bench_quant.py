@@ -1,0 +1,99 @@
+"""A/B: dynamic-int8 vs bf16 extraction forward on the real chip.
+
+Same tunnel-proof methodology as bench.py (N iterations inside one jit
+call, per-iteration pixel perturbation against hoisting, scalar fetch,
+best-of-5). Also reports on-device embedding fidelity (cosine vs the bf16
+path) on the same random-init ViT-B/16 — the quality side of the trade.
+
+Usage: python tools/bench_quant.py [--batch 128] [--iters 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--iters", type=int, default=32)
+    args = p.parse_args()
+
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+    from vimoclip_tpu.ops.preprocess import clip_preprocess
+
+    print("backend:", jax.default_backend(), jax.devices())
+
+    import cv2
+
+    rng = np.random.default_rng(0)
+    low = rng.integers(0, 256, (args.batch, 15, 20, 3), dtype=np.uint8)
+    frames = np.stack(
+        [cv2.resize(f, (640, 360), interpolation=cv2.INTER_LINEAR) for f in low]
+    )
+
+    base_cfg = ClipVisionConfig.vit_b_16()
+    params = ClipVisionEncoder(base_cfg).init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )["params"]
+    dev_frames = jax.device_put(jnp.asarray(frames))
+
+    results = {}
+    embeds = {}
+    for tag, quant in (("bf16", None), ("int8", "int8")):
+        cfg = dataclasses.replace(base_cfg, matmul_quant=quant)
+        enc = ClipVisionEncoder(cfg, dtype=jnp.bfloat16)
+
+        def one_batch(params, raw):
+            pixels = clip_preprocess(raw, cfg.image_size, dtype=jnp.bfloat16)
+            return enc.apply({"params": params}, pixels)
+
+        @jax.jit
+        def timed(params, raw):
+            def body(carry, i):
+                emb = one_batch(params, raw.at[0, 0, 0, 0].set(i))
+                return carry + jnp.sum(emb.astype(jnp.float32)), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(args.iters, dtype=jnp.uint8)
+            )
+            return total
+
+        float(timed(params, dev_frames))  # compile + warm
+        best = min(
+            (lambda t0: (float(timed(params, dev_frames)), time.perf_counter() - t0))(
+                time.perf_counter()
+            )[1]
+            for _ in range(5)
+        )
+        ms = best / args.iters * 1e3
+        fps = args.batch * args.iters / best
+        results[tag] = (ms, fps)
+        print(f"{tag}: {ms:.2f} ms/batch{args.batch}  {fps:,.0f} frames/s")
+
+        embeds[tag] = np.asarray(
+            jax.jit(one_batch)(params, dev_frames), np.float64
+        )
+
+    a, b = embeds["bf16"], embeds["int8"]
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    print(
+        f"speedup: {results['bf16'][0] / results['int8'][0]:.3f}x   "
+        f"cosine(int8, bf16): min {cos.min():.5f} mean {cos.mean():.5f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> None:
                         "embedding instead of running the ViT")
     p.add_argument("--float32", action="store_true",
                    help="full-precision forward (default bfloat16)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="opt-in dynamic-int8 matmuls for the ViT encoder "
+                        "blocks (ops/quant.py): ~2x MXU rate on v5e at a "
+                        "small, test-pinned embedding error — NOT the "
+                        "parity path")
     p.add_argument("--num-shards", type=int, default=1,
                    help="split the annotation list over this many extraction "
                         "jobs (pair with --shard-index; merge outputs with "
@@ -54,6 +59,12 @@ def main(argv: list[str] | None = None) -> None:
     from vimoclip_tpu.models.pretrained import load_clip_vision
 
     config, params = load_clip_vision(args.clip_weights)
+    if args.quantize:
+        import dataclasses
+
+        config = dataclasses.replace(config, matmul_quant=args.quantize)
+        logging.info("dynamic-%s matmuls enabled for the encoder blocks",
+                     args.quantize)
     mesh = None
     if args.data_parallel > 1:
         from vimoclip_tpu.parallel import MeshConfig, create_mesh

@@ -53,6 +53,15 @@ class ClipVisionConfig:
     # default: at the ViT's t=197 the XLA path wins (docs/PERF.md crossover
     # + the extraction A/B in the optimization ledger).
     attention_impl: str = "xla"
+    # Matmul quantization for the encoder blocks (None | "int8",
+    # ops/quant.py): dynamic-int8 MXU matmuls for the attention projections
+    # + MLP (~94% of the ViT's matmul FLOPs) on inference-only forwards
+    # (teacher extraction / serving). The patchify conv and the final
+    # visual_projection stay in ``dtype``: together they are ~3% of the
+    # FLOPs, and the projection writes the embedding directly — keeping it
+    # float costs nothing and removes the largest single error term.
+    # Strictly opt-in (approximation; parity surfaces default to None).
+    matmul_quant: str | None = None
 
     @property
     def num_patches(self) -> int:
@@ -84,16 +93,20 @@ class ClipEncoderLayer(nn.Module):
         act = quick_gelu if cfg.hidden_act == "quick_gelu" else (
             lambda t: nn.gelu(t, approximate=False)
         )
+        from vimoclip_tpu.ops.quant import make_dense
+
+        dense_cls = make_dense(cfg.matmul_quant)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm1")(x)
         h = MultiHeadAttention(
             cfg.hidden_size, cfg.num_heads, dtype=self.dtype,
-            implementation=cfg.attention_impl, name="attn"
+            implementation=cfg.attention_impl, quant=cfg.matmul_quant,
+            name="attn"
         )(h, deterministic=True)
         x = x + h
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm2")(x)
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_fc1")(h)
+        h = dense_cls(cfg.intermediate_size, dtype=self.dtype, name="mlp_fc1")(h)
         h = act(h)
-        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
+        h = dense_cls(cfg.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 
 

@@ -109,6 +109,12 @@ class MultiHeadAttention(nn.Module):
     # threaded programmatically — never from YAML config.
     seq_mesh: jax.sharding.Mesh | None = None
     seq_batch_axis: str | None = None
+    # Matmul quantization for the q/k/v/out projections (None | "int8",
+    # ops/quant.py): dynamic-int8 MXU path for inference-only forwards.
+    # Param layout is unchanged. The attention dots themselves stay in
+    # ``dtype`` (they are ~4% of the block's FLOPs and the score tensor's
+    # softmax needs float range).
+    quant: str | None = None
 
     # Measured on the v5e chip (docs/PERF.md "flash vs XLA crossover"):
     # with dropout active the fused-PRNG kernel wins from t=256 (and wins
@@ -134,7 +140,10 @@ class MultiHeadAttention(nn.Module):
             )
         kv = x if kv is None else kv
         head_dim = self.embed_dim // self.num_heads
-        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+        from vimoclip_tpu.ops.quant import make_dense
+
+        dense_cls = make_dense(self.quant)
+        dense = lambda name: dense_cls(self.embed_dim, dtype=self.dtype, name=name)
 
         def split_heads(t):  # (B, T, E) -> (B, H, T, Dh)
             b, s, _ = t.shape
