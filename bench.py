@@ -52,6 +52,13 @@ import numpy as np
 MEASURED_CEILING_TFLOPS = 193.0
 VIT_B16_GFLOP_PER_FRAME = 35.0  # true FLOPs fwd @ 224^2 (2 FLOPs/MAC)
 
+# The three bench recipes, defined ONCE: tools/profile_step.py (trace
+# attribution) and tools/bench_quant.py import these so the profiled /
+# A/B'd program can never drift from the benchmarked one (review r3).
+EXTRACTION_RECIPE = dict(batch=128, iters=32)
+TFAM_RECIPE = dict(b=8, t=512, d=512, layers=4, ff=2048, classes=140, iters=32)
+STUDENT_RECIPE = dict(b=8, t=29, h=360, w=640, classes=140, iters=16)
+
 
 def _make_frames(n: int, h=360, w=640, seed=0) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -95,7 +102,7 @@ def bench_extraction(jax, jnp):
     # 32 iters/fetch: a jit call through the tunnel costs ~20-28 ms of
     # dispatch+fetch regardless of body; at 8 iters that inflated the
     # 43.5 ms step by ~8% (round-3 methodology fix, docs/PERF.md)
-    batch, iters = 128, 32
+    batch, iters = EXTRACTION_RECIPE["batch"], EXTRACTION_RECIPE["iters"]
     frames = _make_frames(batch)
     params = enc.init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -132,6 +139,39 @@ def bench_extraction(jax, jnp):
     best = _best_of(lambda: float(timed(params, dev_frames)))
     tpu_fps = batch * iters / best
 
+    # Opt-in dynamic-int8 arm (--quantize int8, ops/quant.py): same frames,
+    # same params (identical tree), encoder matmuls on the MXU int8 path.
+    # Fault-tolerant: the headline stays the bf16 parity path either way.
+    try:
+        import dataclasses
+
+        qenc = ClipVisionEncoder(
+            dataclasses.replace(cfg, matmul_quant="int8"), dtype=jnp.bfloat16
+        )
+
+        @jax.jit
+        def timed_q(params, raw):
+            def body(carry, i):
+                pixels = clip_preprocess(
+                    raw.at[0, 0, 0, 0].set(i), cfg.image_size,
+                    dtype=jnp.bfloat16,
+                )
+                emb = qenc.apply({"params": params}, pixels)
+                return carry + jnp.sum(emb.astype(jnp.float32)), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(iters, dtype=jnp.uint8)
+            )
+            return total
+
+        float(timed_q(params, dev_frames))
+        int8_fps = batch * iters / _best_of(
+            lambda: float(timed_q(params, dev_frames))
+        )
+    except Exception as e:  # pragma: no cover - device-dependent
+        int8_fps = None
+        int8_err = str(e)[:200]
+
     # Reference-style baseline on the same machine: serial per-frame PIL
     # preprocessing (the reference's hot-loop structure) + device forward.
     n_base = 64
@@ -163,7 +203,7 @@ def bench_extraction(jax, jnp):
         ref_fps = float("nan")
 
     tflops = tpu_fps * VIT_B16_GFLOP_PER_FRAME / 1e3
-    return {
+    out = {
         "fps": tpu_fps,
         "ref_fps": ref_fps,
         "batch": batch,
@@ -171,6 +211,12 @@ def bench_extraction(jax, jnp):
         "tflops_per_sec": tflops,
         "mfu_vs_measured_ceiling": tflops / MEASURED_CEILING_TFLOPS,
     }
+    if int8_fps is not None:
+        out["int8_fps"] = int8_fps
+        out["int8_speedup"] = int8_fps / tpu_fps
+    else:
+        out["int8_error"] = int8_err
+    return out
 
 
 def bench_tfam_train(jax, jnp):
@@ -180,11 +226,14 @@ def bench_tfam_train(jax, jnp):
     from vimoclip_tpu.config import TFAMModelConfig
     from vimoclip_tpu.models import TFAM
 
-    b, t, d, layers, ff, classes = 8, 512, 512, 4, 2048, 140
+    r = TFAM_RECIPE
+    b, t, d, layers, ff, classes = (
+        r["b"], r["t"], r["d"], r["layers"], r["ff"], r["classes"]
+    )
     # 32 iterations per fetch + best-of-5: BENCH_r02's 8-iter best-of-3
     # showed ~8% run-to-run spread on this section (VERDICT r2 weak #1);
     # the longer scan amortizes dispatch/fetch jitter to <2%.
-    iters = 32
+    iters = r["iters"]
     # attention_impl="auto" = the shipped single-chip default: on TPU this
     # resolves to the Pallas kernel with FUSED on-chip-PRNG attention
     # dropout (measured 9.65 ms/step vs 10.92 XLA at this recipe,
@@ -255,8 +304,9 @@ def bench_student_train(jax, jnp):
     # b=8 is the measured TPU operating point (docs/PERF.md batch-scaling
     # curve); the trainers default to it too. 16 iters/fetch amortizes the
     # ~20-28 ms per-call tunnel overhead (was 4 -> ~7 ms/step inflation).
-    b, t, h, w, classes = 8, 29, 360, 640, 140
-    iters = 16
+    r = STUDENT_RECIPE
+    b, t, h, w, classes = r["b"], r["t"], r["h"], r["w"], r["classes"]
+    iters = r["iters"]
     cfg = ClipVisionConfig.vit_b_32()  # reference student backbone
     model = StudentModel(vision_config=cfg, num_classes=classes,
                          dtype=jnp.bfloat16)
@@ -319,7 +369,9 @@ def bench_serving(jax, jnp):
     b) multi-video throughput, pooled predict_videos vs a serial per-video
        loop over DEVICE-RESIDENT frames (isolates the batching win from
        tunnel-upload noise shared by both paths), plus max |prob delta|
-       between the two paths (must be ~0: pooling is frame-independent).
+       between the two paths (must be ~0: the predictor's default
+       batch_invariant=True pools each clip over its own real length, so
+       batching cannot change predictions — serving.py).
     """
     from vimoclip_tpu.config import TFAMModelConfig
     from vimoclip_tpu.models import TFAM
@@ -502,6 +554,8 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "extraction_tflops_per_sec": ext["tflops_per_sec"],
             "extraction_mfu_vs_measured_ceiling": ext["mfu_vs_measured_ceiling"],
+            "extraction_int8_fps": ext.get("int8_fps"),
+            "extraction_int8_speedup": ext.get("int8_speedup"),
             "tfam_train_step": tfam,
             "student_train_step": student,
             "serving": serving,

@@ -24,6 +24,7 @@ through the actual argparse CLI entry points.
 import json
 import os
 
+import h5py
 import numpy as np
 import pytest
 
@@ -255,6 +256,24 @@ def test_full_cascade_through_clis(tmp_path, monkeypatch, mesh8):
         "--chunk-size", "8", "--float32", "--num-classes", str(C),
     ])
 
+    # the opt-in int8 exporter path restores the same checkpoint (identical
+    # param tree) and lands near the float embeddings
+    motion_int8_h5 = str(tmp_path / "motion_int8.h5")
+    export_main([
+        "--videos-dir", diff_dir, "--output", motion_int8_h5,
+        "--checkpoint-dir", ckpt_dir, "--clip-weights", clip_ckpt,
+        "--chunk-size", "8", "--float32", "--num-classes", str(C),
+        "--quantize", "int8",
+    ])
+    with h5py.File(motion_h5, "r") as ff, h5py.File(motion_int8_h5, "r") as fq:
+        key = next(iter(ff.keys()))
+        a = np.asarray(ff[key]["embeddings"][:], np.float64)
+        b = np.asarray(fq[key]["embeddings"][:], np.float64)
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        assert np.all(cos > 0.98), cos.min()
+
     # structure checker: the two teacher extractions share one schema
     assert checker_main([rgb_h5, rgb_val_h5]) == 0
 
@@ -327,6 +346,23 @@ model:
     probs = [p["probability"] for p in served[0]["predictions"]]
     assert len(probs) == C and all(0.0 <= p <= 1.0 for p in probs)
     assert served[0]["predictions"][0]["class_name"].startswith("cls")
+
+    # the same artifacts through the opt-in quantized towers (--quantize
+    # int8 threads matmul_quant into both ViT configs)
+    q_json = str(tmp_path / "serve_preds_int8.json")
+    predict_main([
+        str(root / names[0]),
+        "--teacher-weights", clip_ckpt,
+        "--student-checkpoint-dir", ckpt_dir,
+        "--student-clip-weights", clip_ckpt,
+        "--tfam-config", str(cfg),
+        "--tfam-checkpoint-dir", tfam_ckpt_dir,
+        "--top-k", str(C), "--output", q_json,
+        "--frame-batch", "8", "--float32", "--quantize", "int8",
+    ])
+    q_served = json.load(open(q_json))
+    q_probs = [p["probability"] for p in q_served[0]["predictions"]]
+    assert len(q_probs) == C and all(0.0 <= p <= 1.0 for p in q_probs)
 
 
 @pytest.mark.slow

@@ -24,7 +24,7 @@ C = 7
 
 
 @pytest.fixture(scope="module")
-def predictor():
+def make_predictor():
     enc = ClipVisionEncoder(VCFG)
     tp = enc.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
     sp = enc.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)))["params"]
@@ -33,13 +33,22 @@ def predictor():
         jax.random.key(2), jnp.zeros((1, 4, 16)), jnp.zeros((1, 3, 16)),
         jnp.ones((1, 4), bool), jnp.ones((1, 3), bool),
     )["params"]
-    return ViMoCLIPPredictor(
-        teacher_params=tp, teacher_config=VCFG,
-        student_params=sp, student_config=VCFG,
-        tfam_params=fp, tfam_config=TCFG, num_classes=C,
-        class_names={0: "eat", 1: "swim"},
-        frame_batch=8, length_bucket=8, half_precision=False,
-    )
+
+    def make(**kw):
+        return ViMoCLIPPredictor(
+            teacher_params=tp, teacher_config=VCFG,
+            student_params=sp, student_config=VCFG,
+            tfam_params=fp, tfam_config=TCFG, num_classes=C,
+            class_names={0: "eat", 1: "swim"},
+            frame_batch=8, length_bucket=8, half_precision=False, **kw,
+        )
+
+    return make
+
+
+@pytest.fixture(scope="module")
+def predictor(make_predictor):
+    return make_predictor()
 
 
 @pytest.fixture(scope="module")
@@ -100,20 +109,46 @@ def test_bucketing_respects_max_seq_len(predictor):
     assert p.probabilities.shape == (C,)
 
 
-def test_predict_batch_matches_single_for_longest(predictor, video, tmp_path):
-    """With reference (unmasked) pooling, logits of SHORTER videos depend on
-    the batch composition — exactly as in the reference (pads within the
-    batch max contribute to the mean, AMO_CLIP.py:170). The longest video of
-    the batch defines the batch max, so its prediction must equal the
-    single-video one; the short video's must differ (documenting the
-    preserved quirk). masked_pooling=True makes all of them composition-
-    invariant."""
+def test_predict_batch_matches_single_every_video(predictor, video, tmp_path):
+    """Default (batch_invariant=True): batching must not change predictions —
+    EVERY video in a mixed-length batch reproduces its single-video result
+    (the serving contract bench.py's pooled_vs_serial_max_prob_delta
+    witnesses)."""
     rng = np.random.default_rng(9)
     v2 = str(tmp_path / "clip2.mp4")
     write_video(v2, rng.integers(0, 256, (9, 36, 48, 3), dtype=np.uint8))
     singles = [predictor.predict(p) for p in (video, v2)]  # 13 and 9 frames
     batch = predictor.predict_batch([video, v2])
     assert len(batch) == 2
+    for one, of_batch in zip(singles, batch):
+        np.testing.assert_allclose(
+            of_batch.probabilities, one.probabilities, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_batch_invariant_single_video_unchanged(make_predictor, video, tmp_path):
+    """batch_invariant=True is bit-identical at batch size 1 (masked pooling
+    == the unmasked-pool emulation when the row IS the batch max), and
+    batch_invariant=False preserves the reference quirk: a SHORTER video's
+    batched prediction depends on the batch composition (pads within the
+    batch max contribute to the mean, AMO_CLIP.py:170) while the longest
+    video still matches its single-video result."""
+    quirk = make_predictor(batch_invariant=False)
+    default = make_predictor()
+    rng = np.random.default_rng(9)
+    v2 = str(tmp_path / "clip2.mp4")
+    write_video(v2, rng.integers(0, 256, (9, 36, 48, 3), dtype=np.uint8))
+
+    # single-video: both modes identical (the b=1 equivalence)
+    for path in (video, v2):
+        np.testing.assert_array_equal(
+            quirk.predict(path).probabilities,
+            default.predict(path).probabilities,
+        )
+
+    # batched, quirk mode: longest matches its single, shorter diverges
+    singles = [quirk.predict(p) for p in (video, v2)]
+    batch = quirk.predict_batch([video, v2])
     np.testing.assert_allclose(batch[0].probabilities, singles[0].probabilities,
                                rtol=1e-4, atol=1e-5)
     assert not np.allclose(batch[1].probabilities, singles[1].probabilities,

@@ -12,15 +12,20 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import EXTRACTION_RECIPE  # noqa: E402  (recipe defined once)
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--batch", type=int, default=EXTRACTION_RECIPE["batch"])
+    p.add_argument("--iters", type=int, default=EXTRACTION_RECIPE["iters"])
     args = p.parse_args()
 
     from vimoclip_tpu.utils.jax_setup import enable_compilation_cache

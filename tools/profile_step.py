@@ -26,9 +26,15 @@ import glob
 import gzip
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# the recipe constants come from bench.py itself so the profiled program
+# cannot drift from the benchmarked one (review r3)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import EXTRACTION_RECIPE, STUDENT_RECIPE, TFAM_RECIPE  # noqa: E402
 
 
 def build_tfam():
@@ -42,7 +48,10 @@ def build_tfam():
     from vimoclip_tpu.config import TFAMModelConfig
     from vimoclip_tpu.models import TFAM
 
-    b, t, d, layers, ff, classes = 8, 512, 512, 4, 2048, 140
+    r = TFAM_RECIPE
+    b, t, d, layers, ff, classes = (
+        r["b"], r["t"], r["d"], r["layers"], r["ff"], r["classes"]
+    )
     model = TFAM(
         config=TFAMModelConfig(d_model=d, nhead=8, num_layers=layers,
                                dim_feedforward=ff, attention_impl="auto"),
@@ -57,7 +66,7 @@ def build_tfam():
     tx = optax.adamw(1e-4, weight_decay=0.1)
     opt = tx.init(params)
 
-    iters = 32
+    iters = r["iters"]
 
     @jax.jit
     def timed(params, opt, key, rgb, motion, mr, mf, labels):
@@ -95,7 +104,7 @@ def build_extraction():
 
     cfg = ClipVisionConfig.vit_b_16()
     enc = ClipVisionEncoder(cfg, dtype=jnp.bfloat16)
-    batch, iters = 128, 32
+    batch, iters = EXTRACTION_RECIPE["batch"], EXTRACTION_RECIPE["iters"]
     rng = np.random.default_rng(0)
     low = rng.integers(0, 256, (batch, 15, 20, 3), dtype=np.uint8)
     frames = np.stack([cv2.resize(f, (640, 360)) for f in low])
@@ -132,8 +141,9 @@ def build_student():
     from vimoclip_tpu.models.clip_vit import ClipVisionConfig
     from vimoclip_tpu.models.student import StudentModel
 
-    b, t, h, w, classes = 8, 29, 360, 640, 140
-    iters = 16
+    r = STUDENT_RECIPE
+    b, t, h, w, classes = r["b"], r["t"], r["h"], r["w"], r["classes"]
+    iters = r["iters"]
     cfg = ClipVisionConfig.vit_b_32()
     model = StudentModel(vision_config=cfg, num_classes=classes,
                          dtype=jnp.bfloat16)

@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> None:
                         "(the head is not used for export, but the restore "
                         "target must match the stored tree)")
     p.add_argument("--float32", action="store_true")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="opt-in dynamic-int8 matmuls for the student's ViT "
+                        "blocks (ops/quant.py; same param tree, so the "
+                        "checkpoint restores unchanged) — approximate, NOT "
+                        "the parity path")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -50,6 +55,12 @@ def main(argv: list[str] | None = None) -> None:
         vision_config, _ = load_clip_vision(args.clip_weights)
     else:
         vision_config = ClipVisionConfig.vit_b_32()
+    if args.quantize:
+        import dataclasses
+
+        vision_config = dataclasses.replace(
+            vision_config, matmul_quant=args.quantize
+        )
 
     # Restore the best student checkpoint (inference.py:79-87 loads
     # student_best.pth; here CheckpointManager/best).

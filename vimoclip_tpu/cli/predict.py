@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--output", default=None, help="write predictions JSON here")
     p.add_argument("--frame-batch", type=int, default=128)
     p.add_argument("--float32", action="store_true")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="opt-in dynamic-int8 matmuls in both ViT towers "
+                        "(ops/quant.py) — approximate, NOT the parity path")
     args = p.parse_args(argv)
     if (args.tfam_checkpoint_dir is None) == (args.tfam_torch_checkpoint is None):
         p.error("exactly one of --tfam-checkpoint-dir / "
@@ -87,6 +90,15 @@ def main(argv: list[str] | None = None) -> None:
         student_config, _ = load_clip_vision(args.student_clip_weights)
     else:
         student_config = ClipVisionConfig.vit_b_32()
+    if args.quantize:
+        import dataclasses
+
+        teacher_config = dataclasses.replace(
+            teacher_config, matmul_quant=args.quantize
+        )
+        student_config = dataclasses.replace(
+            student_config, matmul_quant=args.quantize
+        )
     student = StudentModel(
         vision_config=student_config,
         num_classes=args.student_num_classes or cfg.num_classes,

@@ -57,6 +57,7 @@ class ViMoCLIPPredictor:
         length_bucket: int = 128,
         max_seq_len: int = 2048,
         half_precision: bool = True,
+        batch_invariant: bool = True,
     ):
         self.num_classes = num_classes
         self.embed_dim = teacher_config.projection_dim
@@ -66,6 +67,18 @@ class ViMoCLIPPredictor:
         self.max_seq_len = max_seq_len
         dtype = jnp.bfloat16 if half_precision else jnp.float32
         tfam_config = tfam_config or TFAMModelConfig(attention_impl="flash")
+        if batch_invariant:
+            # Serving predictions must not depend on what a video happens to
+            # be co-batched with. The reference's unmasked pooling
+            # (AMO_CLIP.py:170, TFAMModelConfig.masked_pooling=False) pools
+            # every row over the BATCH-max length, so in predict_videos a
+            # short clip's mean would include padded-garbage positions up to
+            # the longest co-batched clip. Masked pooling is bit-identical
+            # at batch size 1 (both reduce to mean over the clip's own real
+            # length — single-video predictions are unchanged) and makes
+            # pooled == serial for every batch composition.
+            # batch_invariant=False restores strict quirk parity.
+            tfam_config = dataclasses.replace(tfam_config, masked_pooling=True)
 
         teacher = ClipVisionEncoder(teacher_config, dtype=dtype)
         student = ClipVisionEncoder(student_config, dtype=dtype)

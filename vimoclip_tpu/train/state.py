@@ -163,7 +163,7 @@ class CheckpointManager:
         target = self._payload(state)
         try:
             restored = self._ckptr.restore(path, target=target)
-        except Exception:
+        except Exception as primary_err:
             # Legacy fallback (ADVICE r2 #1): before the factories pinned the
             # chain length, grad_clip=None produced a 1-element opt_state
             # chain (no leading identity). Retry against that template and
@@ -173,7 +173,13 @@ class CheckpointManager:
             if not (isinstance(opt, tuple) and len(opt) >= 2):
                 raise
             legacy = dict(target, opt_state=opt[1:])
-            restored = self._ckptr.restore(path, target=legacy)
+            try:
+                restored = self._ckptr.restore(path, target=legacy)
+            except Exception:
+                # the checkpoint isn't the legacy layout either (wrong
+                # geometry, corruption, ...) — surface the ORIGINAL error,
+                # not a confusing complaint about the clip-less template
+                raise primary_err
             restored = dict(restored)
             restored["opt_state"] = (opt[0],) + tuple(restored["opt_state"])
         new_state = state.replace(
