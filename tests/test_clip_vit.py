@@ -112,6 +112,46 @@ def test_config_inference_from_state(hf_model_and_state):
     assert (cfg.num_layers, cfg.intermediate_size, cfg.projection_dim) == (3, 128, 48)
 
 
+def test_vit_l14_proportioned_loading(tmp_path):
+    """The loader handles non-B geometries end to end: a ViT-L/14-shaped
+    checkpoint (patch 14, d_head=64 head inference via hidden//64, 4x FFN)
+    saved as a torch file round-trips through models.pretrained
+    .load_clip_vision with torch-parity embeddings — the geometry a user
+    upgrading the teacher to ViT-L/14 exercises."""
+    from transformers import CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from vimoclip_tpu.models.pretrained import load_clip_vision
+
+    torch.manual_seed(11)
+    # L/14 proportions scaled down: hidden/heads ratio 64 (L: 1024/16),
+    # FFN 4x hidden (L: 4096), patch 14, square grid
+    hf_cfg = HFConfig(
+        hidden_size=128, intermediate_size=512, num_hidden_layers=4,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        projection_dim=96,
+    )
+    model = CLIPVisionModelWithProjection(hf_cfg).eval()
+    ckpt = str(tmp_path / "vit_l14_like.pt")
+    torch.save(model.state_dict(), ckpt)
+
+    cfg, params = load_clip_vision(ckpt)
+    assert (cfg.patch_size, cfg.hidden_size, cfg.num_heads) == (14, 128, 2)
+    assert (cfg.num_layers, cfg.intermediate_size) == (4, 512)
+    assert (cfg.image_size, cfg.projection_dim) == (28, 96)
+
+    rng = np.random.default_rng(3)
+    pixels = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(pixels)).image_embeds.numpy()
+    got = np.asarray(
+        ClipVisionEncoder(cfg).apply(
+            {"params": params}, jnp.asarray(pixels.transpose(0, 2, 3, 1))
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_bf16_close_to_f32(hf_model_and_state):
     _, state = hf_model_and_state
     params = clip_vision_params_from_hf(state, CFG)
