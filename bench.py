@@ -139,14 +139,18 @@ def bench_extraction(jax, jnp):
     best = _best_of(lambda: float(timed(params, dev_frames)))
     tpu_fps = batch * iters / best
 
-    # Opt-in dynamic-int8 arm (--quantize int8, ops/quant.py): same frames,
-    # same params (identical tree), encoder matmuls on the MXU int8 path.
-    # Fault-tolerant: the headline stays the bf16 parity path either way.
+    # Opt-in "turbo" arm: ToMe token merging r=16 (ops/tome.py) + dynamic
+    # int8 matmuls (ops/quant.py) — the `--token-merge 16 --quantize int8`
+    # extraction config, same frames, same params (identical tree).
+    # Measured 1.55x the parity path at embedding cosine 0.984+ (docs/
+    # PERF.md ledger 15/16). Fault-tolerant: the headline stays the bf16
+    # parity path either way.
     try:
         import dataclasses
 
         qenc = ClipVisionEncoder(
-            dataclasses.replace(cfg, matmul_quant="int8"), dtype=jnp.bfloat16
+            dataclasses.replace(cfg, matmul_quant="int8", token_merge_r=16),
+            dtype=jnp.bfloat16,
         )
 
         @jax.jit
@@ -165,12 +169,12 @@ def bench_extraction(jax, jnp):
             return total
 
         float(timed_q(params, dev_frames))
-        int8_fps = batch * iters / _best_of(
+        turbo_fps = batch * iters / _best_of(
             lambda: float(timed_q(params, dev_frames))
         )
     except Exception as e:  # pragma: no cover - device-dependent
-        int8_fps = None
-        int8_err = str(e)[:200]
+        turbo_fps = None
+        turbo_err = str(e)[:200]
 
     # Reference-style baseline on the same machine: serial per-frame PIL
     # preprocessing (the reference's hot-loop structure) + device forward.
@@ -211,11 +215,11 @@ def bench_extraction(jax, jnp):
         "tflops_per_sec": tflops,
         "mfu_vs_measured_ceiling": tflops / MEASURED_CEILING_TFLOPS,
     }
-    if int8_fps is not None:
-        out["int8_fps"] = int8_fps
-        out["int8_speedup"] = int8_fps / tpu_fps
+    if turbo_fps is not None:
+        out["turbo_fps"] = turbo_fps
+        out["turbo_speedup"] = turbo_fps / tpu_fps
     else:
-        out["int8_error"] = int8_err
+        out["turbo_error"] = turbo_err
     return out
 
 
@@ -554,8 +558,10 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "extraction_tflops_per_sec": ext["tflops_per_sec"],
             "extraction_mfu_vs_measured_ceiling": ext["mfu_vs_measured_ceiling"],
-            "extraction_int8_fps": ext.get("int8_fps"),
-            "extraction_int8_speedup": ext.get("int8_speedup"),
+            "extraction_turbo_fps": ext.get("turbo_fps"),
+            "extraction_turbo_speedup": ext.get("turbo_speedup"),
+            "extraction_turbo_config": "token_merge_r=16 + int8"
+            if ext.get("turbo_fps") else None,
             "tfam_train_step": tfam,
             "student_train_step": student,
             "serving": serving,

@@ -1,0 +1,106 @@
+"""A/B: ToMe token merging (and its combination with int8) on the real chip.
+
+Same tunnel-proof methodology as bench.py / tools/bench_quant.py (shared
+EXTRACTION_RECIPE); reports throughput + embedding cosine vs the exact
+bf16 forward for each variant.
+
+Usage: python tools/bench_tome.py [--r 8 16] [--with-int8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import EXTRACTION_RECIPE  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--r", type=int, nargs="*", default=[8, 16])
+    p.add_argument("--with-int8", action="store_true")
+    args = p.parse_args()
+
+    from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+    from vimoclip_tpu.ops.preprocess import clip_preprocess
+
+    print("backend:", jax.default_backend(), jax.devices())
+    batch, iters = EXTRACTION_RECIPE["batch"], EXTRACTION_RECIPE["iters"]
+    rng = np.random.default_rng(0)
+    low = rng.integers(0, 256, (batch, 15, 20, 3), dtype=np.uint8)
+    frames = np.stack(
+        [cv2.resize(f, (640, 360), interpolation=cv2.INTER_LINEAR) for f in low]
+    )
+    base_cfg = ClipVisionConfig.vit_b_16()
+    params = ClipVisionEncoder(base_cfg).init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )["params"]
+    dev_frames = jax.device_put(jnp.asarray(frames))
+
+    variants = [("bf16", {})]
+    for r in args.r:
+        variants.append((f"tome{r}", {"token_merge_r": r}))
+        if args.with_int8:
+            variants.append(
+                (f"tome{r}+int8", {"token_merge_r": r, "matmul_quant": "int8"})
+            )
+
+    ref_emb = None
+    base_ms = None
+    for tag, overrides in variants:
+        cfg = dataclasses.replace(base_cfg, **overrides)
+        enc = ClipVisionEncoder(cfg, dtype=jnp.bfloat16)
+
+        def one_batch(params, raw):
+            pixels = clip_preprocess(raw, cfg.image_size, dtype=jnp.bfloat16)
+            return enc.apply({"params": params}, pixels)
+
+        @jax.jit
+        def timed(params, raw):
+            def body(carry, i):
+                emb = one_batch(params, raw.at[0, 0, 0, 0].set(i))
+                return carry + jnp.sum(emb.astype(jnp.float32)), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(iters, dtype=jnp.uint8)
+            )
+            return total
+
+        float(timed(params, dev_frames))  # compile + warm
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(timed(params, dev_frames))
+            best = min(best, time.perf_counter() - t0)
+        ms = best / iters * 1e3
+        fps = batch * iters / best
+        emb = np.asarray(jax.jit(one_batch)(params, dev_frames), np.float64)
+        if ref_emb is None:
+            ref_emb, base_ms = emb, ms
+            cos_txt = "(reference)"
+        else:
+            cos = (ref_emb * emb).sum(-1) / (
+                np.linalg.norm(ref_emb, axis=-1) * np.linalg.norm(emb, axis=-1)
+            )
+            cos_txt = (
+                f"cos min {cos.min():.4f} mean {cos.mean():.4f} "
+                f"speedup {base_ms / ms:.3f}x"
+            )
+        print(f"{tag:12s} {ms:6.2f} ms/b{batch}  {fps:8,.0f} frames/s  {cos_txt}")
+
+
+if __name__ == "__main__":
+    main()

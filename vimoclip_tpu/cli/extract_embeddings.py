@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> None:
                         "blocks (ops/quant.py): ~2x MXU rate on v5e at a "
                         "small, test-pinned embedding error — NOT the "
                         "parity path")
+    p.add_argument("--token-merge", type=int, default=0, metavar="R",
+                   help="opt-in ToMe token merging (ops/tome.py): merge R "
+                        "spatially-redundant patch tokens after every "
+                        "encoder block (r=16 halves ViT-B/16 block FLOPs "
+                        "at the paper's sub-point accuracy cost) — NOT "
+                        "the parity path")
     p.add_argument("--num-shards", type=int, default=1,
                    help="split the annotation list over this many extraction "
                         "jobs (pair with --shard-index; merge outputs with "
@@ -59,12 +65,16 @@ def main(argv: list[str] | None = None) -> None:
     from vimoclip_tpu.models.pretrained import load_clip_vision
 
     config, params = load_clip_vision(args.clip_weights)
-    if args.quantize:
+    if args.quantize or args.token_merge:
         import dataclasses
 
-        config = dataclasses.replace(config, matmul_quant=args.quantize)
-        logging.info("dynamic-%s matmuls enabled for the encoder blocks",
-                     args.quantize)
+        config = dataclasses.replace(
+            config,
+            matmul_quant=args.quantize or config.matmul_quant,
+            token_merge_r=args.token_merge,
+        )
+        logging.info("approximate encoder options: quantize=%s token_merge=%d",
+                     args.quantize, args.token_merge)
     mesh = None
     if args.data_parallel > 1:
         from vimoclip_tpu.parallel import MeshConfig, create_mesh

@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="opt-in dynamic-int8 matmuls in both ViT towers "
                         "(ops/quant.py) — approximate, NOT the parity path")
+    p.add_argument("--token-merge", type=int, default=0, metavar="R",
+                   help="opt-in ToMe token merging in the TEACHER tower "
+                        "(ops/tome.py; the student's t=50 has too few "
+                        "tokens to pay off) — approximate, NOT the parity "
+                        "path")
     args = p.parse_args(argv)
     if (args.tfam_checkpoint_dir is None) == (args.tfam_torch_checkpoint is None):
         p.error("exactly one of --tfam-checkpoint-dir / "
@@ -90,11 +95,12 @@ def main(argv: list[str] | None = None) -> None:
         student_config, _ = load_clip_vision(args.student_clip_weights)
     else:
         student_config = ClipVisionConfig.vit_b_32()
-    if args.quantize:
+    if args.quantize or args.token_merge:
         import dataclasses
 
         teacher_config = dataclasses.replace(
-            teacher_config, matmul_quant=args.quantize
+            teacher_config, matmul_quant=args.quantize,
+            token_merge_r=args.token_merge,
         )
         student_config = dataclasses.replace(
             student_config, matmul_quant=args.quantize

@@ -62,6 +62,13 @@ class ClipVisionConfig:
     # float costs nothing and removes the largest single error term.
     # Strictly opt-in (approximation; parity surfaces default to None).
     matmul_quant: str | None = None
+    # Token merging (ops/tome.py): merge this many spatially-redundant
+    # patch tokens after every encoder block (bipartite soft matching,
+    # static shapes — each block compiles at its own fixed token count).
+    # 0 = off (the parity default). Like matmul_quant, an opt-in
+    # approximation: r=16 halves ViT-B/16 block FLOPs at the paper's
+    # sub-point ImageNet accuracy cost (Bolya et al., ICLR 2023).
+    token_merge_r: int = 0
 
     @property
     def num_patches(self) -> int:
@@ -160,8 +167,20 @@ class ClipVisionEncoder(nn.Module):
         x = x + position_embedding.astype(self.dtype)[None]
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="pre_layernorm")(x)
-        for i in range(cfg.num_layers):
-            x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
+        if cfg.token_merge_r:
+            from vimoclip_tpu.ops.tome import bipartite_merge, merge_schedule
+
+            schedule = merge_schedule(
+                cfg.num_patches + 1, cfg.num_layers, cfg.token_merge_r
+            )
+            sizes = jnp.ones(x.shape[:2], jnp.float32)
+            for i in range(cfg.num_layers):
+                x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
+                if i < cfg.num_layers - 1 and schedule[i]:
+                    x, sizes = bipartite_merge(x, sizes, schedule[i])
+        else:
+            for i in range(cfg.num_layers):
+                x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
 
         pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="post_layernorm")(
             x[:, 0, :]
