@@ -108,32 +108,40 @@ def bench_extraction(jax, jnp):
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
     )["params"]
 
-    def one_batch(params, raw):
-        pixels = clip_preprocess(raw, cfg.image_size, dtype=jnp.bfloat16)
-        return enc.apply({"params": params}, pixels)
-
     # Data enters as jit ARGUMENTS everywhere in this file — closed-over
     # arrays become program constants, and at these sizes (hundreds of MB
     # of frames) that bloats executables and trips remote-compile upload
     # limits (HTTP 413 observed at ~300 MB on this rig).
-    @jax.jit
-    def timed(params, raw):
-        # The body must depend on the iteration index — with identical
-        # inputs every step XLA hoists the whole forward out of the scan and
-        # the "benchmark" measures one batch (observed: impossible 29k
-        # frames/s). Perturbing one pixel per step defeats the hoisting at
-        # one input-copy per iteration (~0.2 ms). (Scanning over a stack of
-        # distinct batches would be cleaner, but this rig's remote-compile
-        # service rejects programs that large with HTTP 413.)
-        def body(carry, i):
-            emb = one_batch(params, raw.at[0, 0, 0, 0].set(i))
-            return carry + jnp.sum(emb.astype(jnp.float32)), None
+    def make_timed(encoder):
+        """The anti-hoist scan harness, shared by the parity and turbo arms
+        (one copy of the methodology — review r3)."""
 
-        total, _ = jax.lax.scan(
-            body, jnp.float32(0), jnp.arange(iters, dtype=jnp.uint8)
-        )
-        return total
+        @jax.jit
+        def timed(params, raw):
+            # The body must depend on the iteration index — with identical
+            # inputs every step XLA hoists the whole forward out of the scan
+            # and the "benchmark" measures one batch (observed: impossible
+            # 29k frames/s). Perturbing one pixel per step defeats the
+            # hoisting at one input-copy per iteration (~0.2 ms). (Scanning
+            # over a stack of distinct batches would be cleaner, but this
+            # rig's remote-compile service rejects programs that large with
+            # HTTP 413.)
+            def body(carry, i):
+                pixels = clip_preprocess(
+                    raw.at[0, 0, 0, 0].set(i), cfg.image_size,
+                    dtype=jnp.bfloat16,
+                )
+                emb = encoder.apply({"params": params}, pixels)
+                return carry + jnp.sum(emb.astype(jnp.float32)), None
 
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(iters, dtype=jnp.uint8)
+            )
+            return total
+
+        return timed
+
+    timed = make_timed(enc)
     dev_frames = jax.device_put(jnp.asarray(frames))
     float(timed(params, dev_frames))  # compile + warm
     best = _best_of(lambda: float(timed(params, dev_frames)))
@@ -152,22 +160,7 @@ def bench_extraction(jax, jnp):
             dataclasses.replace(cfg, matmul_quant="int8", token_merge_r=16),
             dtype=jnp.bfloat16,
         )
-
-        @jax.jit
-        def timed_q(params, raw):
-            def body(carry, i):
-                pixels = clip_preprocess(
-                    raw.at[0, 0, 0, 0].set(i), cfg.image_size,
-                    dtype=jnp.bfloat16,
-                )
-                emb = qenc.apply({"params": params}, pixels)
-                return carry + jnp.sum(emb.astype(jnp.float32)), None
-
-            total, _ = jax.lax.scan(
-                body, jnp.float32(0), jnp.arange(iters, dtype=jnp.uint8)
-            )
-            return total
-
+        timed_q = make_timed(qenc)
         float(timed_q(params, dev_frames))
         turbo_fps = batch * iters / _best_of(
             lambda: float(timed_q(params, dev_frames))

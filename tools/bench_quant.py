@@ -14,12 +14,11 @@ import argparse
 import dataclasses
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import EXTRACTION_RECIPE  # noqa: E402  (recipe defined once)
+from bench import EXTRACTION_RECIPE, _best_of, _make_frames  # noqa: E402
 
 
 def main() -> None:
@@ -39,14 +38,7 @@ def main() -> None:
 
     print("backend:", jax.default_backend(), jax.devices())
 
-    import cv2
-
-    rng = np.random.default_rng(0)
-    low = rng.integers(0, 256, (args.batch, 15, 20, 3), dtype=np.uint8)
-    frames = np.stack(
-        [cv2.resize(f, (640, 360), interpolation=cv2.INTER_LINEAR) for f in low]
-    )
-
+    frames = _make_frames(args.batch)  # bench.py's exact frame recipe
     base_cfg = ClipVisionConfig.vit_b_16()
     params = ClipVisionEncoder(base_cfg).init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -75,12 +67,7 @@ def main() -> None:
             return total
 
         float(timed(params, dev_frames))  # compile + warm
-        best = min(
-            (lambda t0: (float(timed(params, dev_frames)), time.perf_counter() - t0))(
-                time.perf_counter()
-            )[1]
-            for _ in range(5)
-        )
+        best = _best_of(lambda: float(timed(params, dev_frames)), n=5)
         ms = best / args.iters * 1e3
         fps = args.batch * args.iters / best
         results[tag] = (ms, fps)

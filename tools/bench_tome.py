@@ -13,12 +13,11 @@ import argparse
 import dataclasses
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import EXTRACTION_RECIPE  # noqa: E402
+from bench import EXTRACTION_RECIPE, _best_of, _make_frames  # noqa: E402
 
 
 def main() -> None:
@@ -30,7 +29,6 @@ def main() -> None:
     from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
-    import cv2
     import jax
     import jax.numpy as jnp
 
@@ -39,11 +37,7 @@ def main() -> None:
 
     print("backend:", jax.default_backend(), jax.devices())
     batch, iters = EXTRACTION_RECIPE["batch"], EXTRACTION_RECIPE["iters"]
-    rng = np.random.default_rng(0)
-    low = rng.integers(0, 256, (batch, 15, 20, 3), dtype=np.uint8)
-    frames = np.stack(
-        [cv2.resize(f, (640, 360), interpolation=cv2.INTER_LINEAR) for f in low]
-    )
+    frames = _make_frames(batch)  # bench.py's exact frame recipe
     base_cfg = ClipVisionConfig.vit_b_16()
     params = ClipVisionEncoder(base_cfg).init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -80,11 +74,7 @@ def main() -> None:
             return total
 
         float(timed(params, dev_frames))  # compile + warm
-        best = 1e9
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(timed(params, dev_frames))
-            best = min(best, time.perf_counter() - t0)
+        best = _best_of(lambda: float(timed(params, dev_frames)), n=5)
         ms = best / iters * 1e3
         fps = batch * iters / best
         emb = np.asarray(jax.jit(one_batch)(params, dev_frames), np.float64)

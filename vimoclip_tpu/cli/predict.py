@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> None:
                         "(ops/tome.py; the student's t=50 has too few "
                         "tokens to pay off) — approximate, NOT the parity "
                         "path")
+    p.add_argument("--quirk-batch-pooling", action="store_true",
+                   help="restore the reference's batch-max pooling for "
+                        "multi-video requests (predictions then depend on "
+                        "what a clip is co-batched with, AMO_CLIP.py:170); "
+                        "default is batch-invariant masked pooling, "
+                        "bit-identical for single videos — serving.py")
     args = p.parse_args(argv)
     if (args.tfam_checkpoint_dir is None) == (args.tfam_torch_checkpoint is None):
         p.error("exactly one of --tfam-checkpoint-dir / "
@@ -98,12 +104,16 @@ def main(argv: list[str] | None = None) -> None:
     if args.quantize or args.token_merge:
         import dataclasses
 
+        # like extract_embeddings: flags add to, never clobber, whatever the
+        # loaded configs already carry
         teacher_config = dataclasses.replace(
-            teacher_config, matmul_quant=args.quantize,
-            token_merge_r=args.token_merge,
+            teacher_config,
+            matmul_quant=args.quantize or teacher_config.matmul_quant,
+            token_merge_r=args.token_merge or teacher_config.token_merge_r,
         )
         student_config = dataclasses.replace(
-            student_config, matmul_quant=args.quantize
+            student_config,
+            matmul_quant=args.quantize or student_config.matmul_quant,
         )
     student = StudentModel(
         vision_config=student_config,
@@ -166,6 +176,7 @@ def main(argv: list[str] | None = None) -> None:
         length_bucket=cfg.data.length_bucket,
         max_seq_len=cfg.data.max_seq_len,
         half_precision=not args.float32,
+        batch_invariant=not args.quirk_batch_pooling,
     )
 
     results = []

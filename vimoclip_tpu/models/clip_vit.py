@@ -167,20 +167,23 @@ class ClipVisionEncoder(nn.Module):
         x = x + position_embedding.astype(self.dtype)[None]
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="pre_layernorm")(x)
+        # all-zero schedule when token merging is off: ONE layer loop for
+        # the parity and opt-in paths (they must never drift)
+        schedule = [0] * (cfg.num_layers - 1)
+        sizes = None
         if cfg.token_merge_r:
-            from vimoclip_tpu.ops.tome import bipartite_merge, merge_schedule
+            from vimoclip_tpu.ops.tome import merge_schedule
 
             schedule = merge_schedule(
                 cfg.num_patches + 1, cfg.num_layers, cfg.token_merge_r
             )
             sizes = jnp.ones(x.shape[:2], jnp.float32)
-            for i in range(cfg.num_layers):
-                x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
-                if i < cfg.num_layers - 1 and schedule[i]:
-                    x, sizes = bipartite_merge(x, sizes, schedule[i])
-        else:
-            for i in range(cfg.num_layers):
-                x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
+        for i in range(cfg.num_layers):
+            x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i < cfg.num_layers - 1 and schedule[i]:
+                from vimoclip_tpu.ops.tome import bipartite_merge
+
+                x, sizes = bipartite_merge(x, sizes, schedule[i])
 
         pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="post_layernorm")(
             x[:, 0, :]

@@ -11,7 +11,7 @@ setting.
 
 TPU-first: the whole reduction is static-shape — ``r`` is a Python
 constant, every layer compiles at its own fixed token count, the
-merge itself is top_k + argsort + two small one-hot einsums (MXU work,
+merge itself is argmax + argsort + two small one-hot einsums (MXU work,
 no gather/scatter with dynamic extents) — exactly the kind of
 "data-dependent compute" that is usually dynamic-shaped, restructured so
 XLA can compile it.

@@ -67,7 +67,7 @@ class ViMoCLIPPredictor:
         self.max_seq_len = max_seq_len
         dtype = jnp.bfloat16 if half_precision else jnp.float32
         tfam_config = tfam_config or TFAMModelConfig(attention_impl="flash")
-        if batch_invariant:
+        if batch_invariant and not tfam_config.masked_pooling:
             # Serving predictions must not depend on what a video happens to
             # be co-batched with. The reference's unmasked pooling
             # (AMO_CLIP.py:170, TFAMModelConfig.masked_pooling=False) pools
@@ -77,7 +77,15 @@ class ViMoCLIPPredictor:
             # at batch size 1 (both reduce to mean over the clip's own real
             # length — single-video predictions are unchanged) and makes
             # pooled == serial for every batch composition.
-            # batch_invariant=False restores strict quirk parity.
+            # batch_invariant=False restores strict quirk parity (exposed
+            # as `vimo-predict --quirk-batch-pooling`).
+            import logging
+
+            logging.getLogger(__name__).info(
+                "serving: masked pooling enabled for batch-invariant "
+                "predictions (batch_invariant=False restores the "
+                "reference's batch-max pooling)"
+            )
             tfam_config = dataclasses.replace(tfam_config, masked_pooling=True)
 
         teacher = ClipVisionEncoder(teacher_config, dtype=dtype)
