@@ -35,13 +35,15 @@ def make_predictor():
     )["params"]
 
     def make(**kw):
-        return ViMoCLIPPredictor(
+        kwargs = dict(
             teacher_params=tp, teacher_config=VCFG,
             student_params=sp, student_config=VCFG,
             tfam_params=fp, tfam_config=TCFG, num_classes=C,
             class_names={0: "eat", 1: "swim"},
-            frame_batch=8, length_bucket=8, half_precision=False, **kw,
+            frame_batch=8, length_bucket=8, half_precision=False,
         )
+        kwargs.update(kw)
+        return ViMoCLIPPredictor(**kwargs)
 
     return make
 
@@ -174,6 +176,35 @@ def test_pooled_embedding_matches_per_video(predictor):
         np.testing.assert_array_equal(mot, ref_mot)
         assert rgb.shape == (len(frames), 16)
         assert mot.shape == (max(len(frames) - 1, 0), 16)
+
+
+def test_mesh_serving_matches_single_device(make_predictor, video, mesh8):
+    """Data-parallel serving (frame batches sharded over the mesh's data
+    axis, the extractor's scheme): predictions must match the single-device
+    path, including the pooled multi-video entry point."""
+    single = make_predictor()
+    sharded = make_predictor(mesh=mesh8)
+    np.testing.assert_allclose(
+        sharded.predict(video).probabilities,
+        single.predict(video).probabilities,
+        rtol=1e-5, atol=1e-6,
+    )
+    rng = np.random.default_rng(21)
+    videos = [
+        rng.integers(0, 256, (11, 36, 48, 3), dtype=np.uint8),
+        rng.integers(0, 256, (6, 36, 48, 3), dtype=np.uint8),
+    ]
+    a = single.predict_videos(videos)
+    b = sharded.predict_videos(videos)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            y.probabilities, x.probabilities, rtol=1e-5, atol=1e-6
+        )
+
+
+def test_mesh_serving_rejects_indivisible_frame_batch(make_predictor, mesh8):
+    with pytest.raises(ValueError, match="not divisible"):
+        make_predictor(mesh=mesh8, frame_batch=10)  # data axis = 4
 
 
 def test_windowed_embed_video_matches_whole_video(predictor):

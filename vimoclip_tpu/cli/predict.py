@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> None:
                         "(ops/tome.py; the student's t=50 has too few "
                         "tokens to pay off) — approximate, NOT the parity "
                         "path")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each fixed-shape frame batch over this many "
+                        "devices (the extractor's mesh scheme; frame-batch "
+                        "must divide by it)")
     p.add_argument("--quirk-batch-pooling", action="store_true",
                    help="restore the reference's batch-max pooling for "
                         "multi-video requests (predictions then depend on "
@@ -167,6 +171,12 @@ def main(argv: list[str] | None = None) -> None:
 
         class_names = load_class_names(path)
 
+    mesh = None
+    if args.data_parallel > 1:
+        from vimoclip_tpu.parallel import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(args.data_parallel, 1))
+
     predictor = ViMoCLIPPredictor(
         teacher_params=teacher_params, teacher_config=teacher_config,
         student_params=sstate.params, student_config=student_config,
@@ -177,6 +187,7 @@ def main(argv: list[str] | None = None) -> None:
         max_seq_len=cfg.data.max_seq_len,
         half_precision=not args.float32,
         batch_invariant=not args.quirk_batch_pooling,
+        mesh=mesh,
     )
 
     results = []

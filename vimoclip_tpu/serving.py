@@ -58,6 +58,7 @@ class ViMoCLIPPredictor:
         max_seq_len: int = 2048,
         half_precision: bool = True,
         batch_invariant: bool = True,
+        mesh: jax.sharding.Mesh | None = None,
     ):
         self.num_classes = num_classes
         self.embed_dim = teacher_config.projection_dim
@@ -66,6 +67,22 @@ class ViMoCLIPPredictor:
         self.length_bucket = length_bucket
         self.max_seq_len = max_seq_len
         dtype = jnp.bfloat16 if half_precision else jnp.float32
+
+        # Optional data-parallel serving (the extractor's mesh scheme,
+        # extraction.py: params replicated, each fixed-shape frame batch
+        # sharded over the mesh's `data` axis — one ViT forward spans the
+        # mesh). The tiny fusion step runs replicated.
+        self._frame_sharding = self._replicated = None
+        if mesh is not None:
+            from vimoclip_tpu.parallel import batch_sharding, replicated_sharding
+
+            if frame_batch % mesh.shape["data"]:
+                raise ValueError(
+                    f"frame_batch {frame_batch} not divisible by data axis "
+                    f"{mesh.shape['data']}"
+                )
+            self._frame_sharding = batch_sharding(mesh)
+            self._replicated = replicated_sharding(mesh)
         tfam_config = tfam_config or TFAMModelConfig(attention_impl="flash")
         if batch_invariant and not tfam_config.masked_pooling:
             # Serving predictions must not depend on what a video happens to
@@ -99,13 +116,17 @@ class ViMoCLIPPredictor:
         # (bloated executables; on remote-compile rigs the upload is
         # rejected outright). Device-resident once, passed by reference.
         def _make_embed(enc, params, image_size):
-            params = jax.device_put(params)
+            params = jax.device_put(params, self._replicated)
 
             @jax.jit
             def embed(params, frames):  # (N, H, W, 3) uint8, N == frame_batch
                 pixels = clip_preprocess(frames, image_size, dtype=dtype)
                 return enc.apply({"params": params}, pixels).astype(jnp.float32)
 
+            if self._frame_sharding is not None:
+                return lambda frames: embed(
+                    params, jax.device_put(frames, self._frame_sharding)
+                )
             return lambda frames: embed(params, frames)
 
         self._teacher_embed = _make_embed(
@@ -115,7 +136,7 @@ class ViMoCLIPPredictor:
             student, student_tower, student_config.image_size
         )
 
-        tfam_params = jax.device_put(tfam_params)
+        tfam_params = jax.device_put(tfam_params, self._replicated)
 
         @jax.jit
         def fuse(params, rgb_emb, motion_emb, mask_rgb, mask_motion):
@@ -125,7 +146,12 @@ class ViMoCLIPPredictor:
             )
             return jax.nn.sigmoid(logits)
 
-        self._fuse = lambda *a: fuse(tfam_params, *a)
+        if self._replicated is not None:
+            self._fuse = lambda *a: fuse(
+                tfam_params, *(jax.device_put(x, self._replicated) for x in a)
+            )
+        else:
+            self._fuse = lambda *a: fuse(tfam_params, *a)
 
     # ------------------------------------------------------------------
     def _embed_frames(self, embed_fn, frames) -> np.ndarray:
