@@ -35,8 +35,10 @@ def stage1_fixtures(tmp_path):
             w.write_video(f"v{i}.mp4",
                           rng.normal(size=(t, D)).astype(np.float32), labels=lab)
     torch.manual_seed(2)
+    # 2 layers, not 1: ToMe merges BETWEEN layers, so the --token-merge CLI
+    # arm needs at least one inter-layer merge point to be a real test
     hf = CLIPVisionModelWithProjection(HFConfig(
-        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
         num_attention_heads=2, image_size=32, patch_size=8, projection_dim=D))
     ckpt = str(tmp_path / "clip.pt")
     torch.save(hf.state_dict(), ckpt)
@@ -71,6 +73,24 @@ def test_train_student_then_export_cli(stage1_fixtures, tmp_path):
         assert len(groups) == 4
         assert f["v0"]["embeddings"].shape[1] == D
         assert f["v0"].attrs["complete"]
+        baseline_v0 = f["v0"]["embeddings"][:]
+
+    # opt-in ToMe arm: merging tokens inside the student ViT must keep the
+    # export schema/shapes identical (per-frame embeddings, not tokens) while
+    # actually changing the numbers (proves the flag reaches the encoder)
+    tome_h5 = str(tmp_path / "motion_emb_tome.h5")
+    export_main([
+        "--videos-dir", vdir, "--output", tome_h5,
+        "--checkpoint-dir", ckpt_dir, "--clip-weights", clip_ckpt,
+        "--chunk-size", "8", "--float32", "--num-classes", "4",
+        "--token-merge", "4",
+    ])
+    with h5py.File(tome_h5, "r") as f:
+        tome_v0 = f["v0"]["embeddings"][:]
+        assert f["v0"].attrs["complete"]
+    assert tome_v0.shape == baseline_v0.shape
+    assert np.all(np.isfinite(tome_v0))
+    assert not np.allclose(tome_v0, baseline_v0)
 
 
 def test_predict_cli_end_to_end(stage1_fixtures, tmp_path):

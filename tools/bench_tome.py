@@ -24,6 +24,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--r", type=int, nargs="*", default=[8, 16])
     p.add_argument("--with-int8", action="store_true")
+    p.add_argument("--model", choices=["b16", "b32"], default="b16",
+                   help="b16 = teacher geometry (197 tokens), "
+                        "b32 = student geometry (50 tokens)")
     args = p.parse_args()
 
     from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
@@ -38,7 +41,10 @@ def main() -> None:
     print("backend:", jax.default_backend(), jax.devices())
     batch, iters = EXTRACTION_RECIPE["batch"], EXTRACTION_RECIPE["iters"]
     frames = _make_frames(batch)  # bench.py's exact frame recipe
-    base_cfg = ClipVisionConfig.vit_b_16()
+    base_cfg = (
+        ClipVisionConfig.vit_b_16() if args.model == "b16"
+        else ClipVisionConfig.vit_b_32()
+    )
     params = ClipVisionEncoder(base_cfg).init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
     )["params"]

@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> None:
                         "blocks (ops/quant.py; same param tree, so the "
                         "checkpoint restores unchanged) — approximate, NOT "
                         "the parity path")
+    p.add_argument("--token-merge", type=int, default=0, metavar="R",
+                   help="opt-in ToMe token merging in the student's ViT "
+                        "(ops/tome.py; ViT-B/32's 50 tokens leave less to "
+                        "merge than the teacher's 197 — measure with "
+                        "tools/bench_tome.py --model b32) — approximate, "
+                        "NOT the parity path")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -55,11 +61,13 @@ def main(argv: list[str] | None = None) -> None:
         vision_config, _ = load_clip_vision(args.clip_weights)
     else:
         vision_config = ClipVisionConfig.vit_b_32()
-    if args.quantize:
+    if args.quantize or args.token_merge:
         import dataclasses
 
         vision_config = dataclasses.replace(
-            vision_config, matmul_quant=args.quantize
+            vision_config,
+            matmul_quant=args.quantize or vision_config.matmul_quant,
+            token_merge_r=args.token_merge or vision_config.token_merge_r,
         )
 
     # Restore the best student checkpoint (inference.py:79-87 loads
