@@ -38,10 +38,10 @@ def main(argv: list[str] | None = None) -> None:
                         "the parity path")
     p.add_argument("--token-merge", type=int, default=0, metavar="R",
                    help="opt-in ToMe token merging in the student's ViT "
-                        "(ops/tome.py; ViT-B/32's 50 tokens leave less to "
-                        "merge than the teacher's 197 — measure with "
-                        "tools/bench_tome.py --model b32) — approximate, "
-                        "NOT the parity path")
+                        "(ops/tome.py; measured at ViT-B/32's 50-token "
+                        "geometry: r=4 1.38x at cosine 0.984, r=8 1.86x at "
+                        "0.966 — docs/PERF.md ledger 16 / tools/bench_tome.py "
+                        "--model b32) — approximate, NOT the parity path")
     args = p.parse_args(argv)
 
     setup_logging()
