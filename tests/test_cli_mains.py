@@ -92,6 +92,23 @@ def test_train_student_then_export_cli(stage1_fixtures, tmp_path):
     assert np.all(np.isfinite(tome_v0))
     assert not np.allclose(tome_v0, baseline_v0)
 
+    # the two opt-in accelerators compose (one dataclasses.replace threads
+    # both into the vision config) — the turbo arm bench.py measures
+    turbo_h5 = str(tmp_path / "motion_emb_turbo.h5")
+    export_main([
+        "--videos-dir", vdir, "--output", turbo_h5,
+        "--checkpoint-dir", ckpt_dir, "--clip-weights", clip_ckpt,
+        "--chunk-size", "8", "--float32", "--num-classes", "4",
+        "--token-merge", "4", "--quantize", "int8",
+    ])
+    with h5py.File(turbo_h5, "r") as f:
+        turbo_v0 = f["v0"]["embeddings"][:]
+        assert f["v0"].attrs["complete"]
+    assert turbo_v0.shape == baseline_v0.shape
+    assert np.all(np.isfinite(turbo_v0))
+    # int8 on top of ToMe must change the numbers again
+    assert not np.allclose(turbo_v0, tome_v0)
+
 
 def test_predict_cli_end_to_end(stage1_fixtures, tmp_path):
     """vimo-predict: raw video file -> top-k JSON through the full fused
