@@ -80,6 +80,42 @@ def _best_of(fn, n=3) -> float:
     return min(times)
 
 
+def make_extraction_timed(encoder, image_size: int, iters: int):
+    """The anti-hoist scan harness for extraction-style forwards, defined
+    ONCE (review r3 ADVICE #4): bench.py's arms AND tools/bench_quant.py /
+    tools/bench_tome.py build their timed programs here, so an A/B tool can
+    never drift from the benchmarked methodology.
+
+    The body must depend on the iteration index — with identical inputs
+    every step XLA hoists the whole forward out of the scan and the
+    "benchmark" measures one batch (observed: impossible 29k frames/s).
+    Perturbing one pixel per step defeats the hoisting at one input-copy
+    per iteration (~0.2 ms). (Scanning over a stack of distinct batches
+    would be cleaner, but this rig's remote-compile service rejects
+    programs that large with HTTP 413.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vimoclip_tpu.ops.preprocess import clip_preprocess
+
+    @jax.jit
+    def timed(params, raw):
+        def body(carry, i):
+            pixels = clip_preprocess(
+                raw.at[0, 0, 0, 0].set(i), image_size, dtype=jnp.bfloat16
+            )
+            emb = encoder.apply({"params": params}, pixels)
+            return carry + jnp.sum(emb.astype(jnp.float32)), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(iters, dtype=jnp.uint8)
+        )
+        return total
+
+    return timed
+
+
 def _transformer_flops(t: int, d: int, ff: int, layers: int, cross: bool) -> float:
     """True matmul FLOPs of one forward over a t-token sequence (per batch
     element): q/k/v/out projections, attention score+value matmuls, FFN."""
@@ -111,37 +147,10 @@ def bench_extraction(jax, jnp):
     # Data enters as jit ARGUMENTS everywhere in this file — closed-over
     # arrays become program constants, and at these sizes (hundreds of MB
     # of frames) that bloats executables and trips remote-compile upload
-    # limits (HTTP 413 observed at ~300 MB on this rig).
-    def make_timed(encoder):
-        """The anti-hoist scan harness, shared by the parity and turbo arms
-        (one copy of the methodology — review r3)."""
-
-        @jax.jit
-        def timed(params, raw):
-            # The body must depend on the iteration index — with identical
-            # inputs every step XLA hoists the whole forward out of the scan
-            # and the "benchmark" measures one batch (observed: impossible
-            # 29k frames/s). Perturbing one pixel per step defeats the
-            # hoisting at one input-copy per iteration (~0.2 ms). (Scanning
-            # over a stack of distinct batches would be cleaner, but this
-            # rig's remote-compile service rejects programs that large with
-            # HTTP 413.)
-            def body(carry, i):
-                pixels = clip_preprocess(
-                    raw.at[0, 0, 0, 0].set(i), cfg.image_size,
-                    dtype=jnp.bfloat16,
-                )
-                emb = encoder.apply({"params": params}, pixels)
-                return carry + jnp.sum(emb.astype(jnp.float32)), None
-
-            total, _ = jax.lax.scan(
-                body, jnp.float32(0), jnp.arange(iters, dtype=jnp.uint8)
-            )
-            return total
-
-        return timed
-
-    timed = make_timed(enc)
+    # limits (HTTP 413 observed at ~300 MB on this rig). The anti-hoist
+    # scan harness is the module-level make_extraction_timed, shared with
+    # tools/bench_quant.py and tools/bench_tome.py.
+    timed = make_extraction_timed(enc, cfg.image_size, iters)
     dev_frames = jax.device_put(jnp.asarray(frames))
     float(timed(params, dev_frames))  # compile + warm
     best = _best_of(lambda: float(timed(params, dev_frames)))
@@ -160,7 +169,7 @@ def bench_extraction(jax, jnp):
             dataclasses.replace(cfg, matmul_quant="int8", token_merge_r=16),
             dtype=jnp.bfloat16,
         )
-        timed_q = make_timed(qenc)
+        timed_q = make_extraction_timed(qenc, cfg.image_size, iters)
         float(timed_q(params, dev_frames))
         turbo_fps = batch * iters / _best_of(
             lambda: float(timed_q(params, dev_frames))

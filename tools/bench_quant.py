@@ -18,7 +18,12 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import EXTRACTION_RECIPE, _best_of, _make_frames  # noqa: E402
+from bench import (  # noqa: E402
+    EXTRACTION_RECIPE,
+    _best_of,
+    _make_frames,
+    make_extraction_timed,
+)
 
 
 def main() -> None:
@@ -55,17 +60,9 @@ def main() -> None:
             pixels = clip_preprocess(raw, cfg.image_size, dtype=jnp.bfloat16)
             return enc.apply({"params": params}, pixels)
 
-        @jax.jit
-        def timed(params, raw):
-            def body(carry, i):
-                emb = one_batch(params, raw.at[0, 0, 0, 0].set(i))
-                return carry + jnp.sum(emb.astype(jnp.float32)), None
-
-            total, _ = jax.lax.scan(
-                body, jnp.float32(0), jnp.arange(args.iters, dtype=jnp.uint8)
-            )
-            return total
-
+        # bench.py's exact anti-hoist harness (single copy of the
+        # methodology — ADVICE r3 #4)
+        timed = make_extraction_timed(enc, cfg.image_size, args.iters)
         float(timed(params, dev_frames))  # compile + warm
         best = _best_of(lambda: float(timed(params, dev_frames)), n=5)
         ms = best / args.iters * 1e3

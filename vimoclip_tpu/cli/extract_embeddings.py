@@ -71,7 +71,7 @@ def main(argv: list[str] | None = None) -> None:
         config = dataclasses.replace(
             config,
             matmul_quant=args.quantize or config.matmul_quant,
-            token_merge_r=args.token_merge,
+            token_merge_r=args.token_merge or config.token_merge_r,
         )
         logging.info("approximate encoder options: quantize=%s token_merge=%d",
                      args.quantize, args.token_merge)
