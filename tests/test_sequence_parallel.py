@@ -140,13 +140,142 @@ def test_validation_errors(seq_mesh):
     with pytest.raises(ValueError, match="divisible"):
         sequence_parallel_attention(q, k, v, seq_mesh)
     q, k, v = _qkv(jax.random.key(11))
-    with pytest.raises(ValueError, match="dropout"):
+    with pytest.raises(ValueError, match="dropout_rng"):
         sequence_parallel_attention(q, k, v, seq_mesh, dropout_rate=0.1)
     with pytest.raises(ValueError, match="strategy"):
         sequence_parallel_attention(q, k, v, seq_mesh, strategy="nope")
     mesh2d = create_mesh(MeshConfig(8, 1))
     with pytest.raises(ValueError, match="no 'seq' axis"):
         sequence_parallel_attention(q, k, v, mesh2d)
+
+
+# ---------------------------------------------------------------------------
+# Attention dropout on the ring (round 4): bits keyed on GLOBAL (row, block)
+# coordinates (parallel/sequence.py module docstring), so the mask — hence
+# the result — is a pure function of the problem, not the sharding.
+# ---------------------------------------------------------------------------
+
+
+def _assembled_keep(key, b, h, tq, tk, n, rate):
+    """The full (B, H, Tq, Tk) keep mask ring_attention draws, assembled
+    block by block with the documented (row, qi*n+ki) fold_in scheme."""
+    tql, tkl = tq // n, tk // n
+    keep = np.zeros((b, h, tq, tk), bool)
+    for row in range(b):
+        k_row = jax.random.fold_in(key, row)
+        for qi in range(n):
+            for ki in range(n):
+                blk = jax.random.bernoulli(
+                    jax.random.fold_in(k_row, qi * n + ki),
+                    1.0 - rate,
+                    (h, tql, tkl),
+                )
+                keep[row, :, qi * tql:(qi + 1) * tql,
+                     ki * tkl:(ki + 1) * tkl] = np.asarray(blk)
+    return jnp.asarray(keep)
+
+
+def _dense_dropout_attention(q, k, v, mask, keep, rate):
+    """Dense oracle with an EXPLICIT keep mask, flash-kernel dropout
+    semantics: keep * softmax / (1-rate) (denominator pre-dropout)."""
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale, k,
+                   preferred_element_type=jnp.float32)
+    if mask is not None:
+        s = s + jnp.where(mask[:, None, None, :], -1e9, 0.0)
+    w = jax.nn.softmax(s, axis=-1)
+    w = jnp.where(keep, w / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@pytest.mark.parametrize("strategy", ["ring", "allgather"])
+def test_dropout_matches_assembled_mask_oracle(seq_mesh, strategy):
+    """Both strategies reproduce the dense computation under the exact
+    documented blockwise mask — dropout is deterministic, not just
+    statistically plausible."""
+    rate = 0.3
+    rng = jax.random.key(20)
+    q, k, v = _qkv(jax.random.key(21))
+    mask = _ragged_mask(jax.random.key(22), q.shape[0], k.shape[2])
+    got = sequence_parallel_attention(
+        q, k, v, seq_mesh, key_padding_mask=mask, strategy=strategy,
+        dropout_rate=rate, dropout_rng=rng,
+    )
+    keep = _assembled_keep(rng, *q.shape[:2], q.shape[2], k.shape[2], 8, rate)
+    expect = _dense_dropout_attention(q, k, v, mask, keep, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+    # and it actually drops something
+    nodrop = sequence_parallel_attention(
+        q, k, v, seq_mesh, key_padding_mask=mask, strategy=strategy
+    )
+    assert float(jnp.abs(got - nodrop).max()) > 1e-3
+
+
+def test_dropout_ring_equals_allgather(seq_mesh):
+    """Same key -> same mask -> same result across strategies (allgather
+    stays the oracle with dropout on)."""
+    rng = jax.random.key(23)
+    q, k, v = _qkv(jax.random.key(24))
+    outs = [
+        sequence_parallel_attention(
+            q, k, v, seq_mesh, strategy=s, dropout_rate=0.25, dropout_rng=rng
+        )
+        for s in ("ring", "allgather")
+    ]
+    np.testing.assert_allclose(
+        np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-5
+    )
+
+
+def test_dropout_invariant_to_data_sharding(devices):
+    """(data=2, seq=4) and (data=1, seq=4) draw identical masks: bits are
+    keyed by each row's GLOBAL batch index, not its shard-local position
+    (the flash kernel's sharding-invariance property, lifted to the ring)."""
+    rng = jax.random.key(25)
+    q, k, v = _qkv(jax.random.key(26), b=4, t=24)
+    mesh_dp = create_mesh(MeshConfig(data_parallel=2, seq_parallel=4))
+    mesh_sp = Mesh(np.asarray(devices[:4]).reshape(4), axis_names=("seq",))
+    got_dp = sequence_parallel_attention(
+        q, k, v, mesh_dp, batch_axis="data", dropout_rate=0.3, dropout_rng=rng
+    )
+    got_sp = sequence_parallel_attention(
+        q, k, v, mesh_sp, dropout_rate=0.3, dropout_rng=rng
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dp), np.asarray(got_sp), atol=1e-5
+    )
+
+
+def test_dropout_keep_fraction(seq_mesh):
+    """Statistical sanity on the actual drawn mask: keep fraction ~= 1-p."""
+    rate = 0.4
+    keep = _assembled_keep(jax.random.key(27), 2, 4, 64, 64, 8, rate)
+    frac = float(jnp.mean(keep.astype(jnp.float32)))
+    assert abs(frac - (1 - rate)) < 0.01, frac
+
+
+def test_dropout_gradients_match_oracle(seq_mesh):
+    """The checkpointed scan regenerates the same bits in backward: grads
+    equal the dense oracle's under the assembled mask."""
+    rate = 0.2
+    rng = jax.random.key(28)
+    q, k, v = _qkv(jax.random.key(29), t=16)
+    keep = _assembled_keep(rng, *q.shape[:2], 16, 16, 8, rate)
+
+    def loss_ring(q, k, v):
+        out = sequence_parallel_attention(
+            q, k, v, seq_mesh, dropout_rate=rate, dropout_rng=rng
+        )
+        return (out**2).sum()
+
+    def loss_dense(q, k, v):
+        return (_dense_dropout_attention(q, k, v, None, keep, rate) ** 2).sum()
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for gr, gd in zip(g_ring, g_dense):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gd), atol=1e-4)
 
 
 class TestTFAMRing:
@@ -235,7 +364,7 @@ class TestTFAMRing:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=2e-5)
 
-    def test_ring_requires_mesh_and_rejects_dropout(self, seq_mesh):
+    def test_ring_requires_mesh(self, seq_mesh):
         from vimoclip_tpu.config import TFAMModelConfig
         from vimoclip_tpu.models.tfam import TFAM
 
@@ -246,14 +375,40 @@ class TestTFAMRing:
         with pytest.raises(ValueError, match="seq_mesh"):
             no_mesh.init(jax.random.key(0), rgb, motion, mask_rgb, mask_flow)
 
-        cfg = TFAMModelConfig(num_layers=1, dropout=0.2, attention_impl="ring")
+    def test_ring_trains_with_dropout(self, seq_mesh):
+        """The reference recipe trains with dropout 0.1
+        (cfg_AK/config_default.yaml) — ring attention supports it (round 4;
+        VERDICT r3 #1): dropout-mode forward + grads are finite, change with
+        the key, and are deterministic per key."""
+        from vimoclip_tpu.config import TFAMModelConfig
+        from vimoclip_tpu.models.tfam import TFAM
+
+        rgb, motion, mask_rgb, mask_flow = self._inputs()
+        cfg = TFAMModelConfig(
+            num_layers=2, dim_feedforward=256, dropout=0.1, mlp_dropout=0.1,
+            attention_impl="ring",
+        )
         model = TFAM(cfg, num_classes=10, seq_mesh=seq_mesh)
         params = model.init(jax.random.key(0), rgb, motion, mask_rgb, mask_flow)
-        with pytest.raises(ValueError, match="dropout"):
-            model.apply(
-                params, rgb, motion, mask_rgb, mask_flow,
-                deterministic=False, rngs={"dropout": jax.random.key(1)},
+
+        @jax.jit
+        def loss(p, key):
+            logits = model.apply(
+                p, rgb, motion, mask_rgb, mask_flow,
+                deterministic=False, rngs={"dropout": key},
             )
+            return (logits**2).mean()
+
+        grad = jax.jit(jax.value_and_grad(loss))
+        l1, g1 = grad(params, jax.random.key(1))
+        l1b = loss(params, jax.random.key(1))
+        l2 = loss(params, jax.random.key(2))
+        assert np.isfinite(float(l1))
+        assert float(l1) == float(l1b)  # deterministic per key
+        assert float(l1) != float(l2)  # key actually changes the mask
+        flat = jax.tree.leaves(g1)
+        assert all(bool(jnp.isfinite(g).all()) for g in flat)
+        assert any(float(jnp.abs(g).max()) > 0 for g in flat)
 
 
 def test_mesh_config_seq_resolution():

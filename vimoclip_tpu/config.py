@@ -48,6 +48,20 @@ class TrainingConfig:
     dropout_rng_impl: str = "rbg"
     data_parallel: int = -1
     model_parallel: int = 1
+    # Sequence parallelism: shard TIME over a mesh `seq` axis and run ring
+    # attention (parallel/sequence.py) inside the train/eval steps — for
+    # videos whose attention state outgrows one chip. Trains the full
+    # reference recipe including attention dropout (global-coordinate
+    # counter PRNG). YAML: `training.parallelism: {seq: N}`.
+    seq_parallel: int = 1
+    # Pipeline parallelism: shard the TFAM encoder layers into GPipe stages
+    # over a mesh `pipe` axis (parallel/pipelining.py) — for fusion models
+    # whose params/activations outgrow one chip along depth. Cross-attention
+    # fusion mode only. YAML: `training.parallelism: {pipe: N}`.
+    pipeline_parallel: int = 1
+    # Microbatches per pipelined step (defaults to the stage count — the
+    # minimum that keeps every stage busy outside the bubble).
+    pipeline_microbatches: int | None = None
     half_precision: bool = False  # bfloat16 activations
     resume: bool = False  # true train-resume (reference never resumes, SURVEY §5)
     # also checkpoint mid-epoch every N steps; resume lands on the exact
@@ -154,10 +168,27 @@ def _build(cls, section: dict[str, Any] | None):
     return cls(**known)
 
 
+_PARALLELISM_KEYS = {
+    "data": "data_parallel",
+    "model": "model_parallel",
+    "seq": "seq_parallel",
+    "pipe": "pipeline_parallel",
+    "microbatches": "pipeline_microbatches",
+}
+
+
 def load_experiment_config(path: str) -> ExperimentConfig:
     with open(path, "r") as f:
         cfg = yaml.safe_load(f) or {}
-    training = _build(TrainingConfig, cfg.get("training"))
+    training_section = dict(cfg.get("training") or {})
+    # `training.parallelism: {data: -1, model: 1, seq: 2, pipe: 2}` — the
+    # mesh geometry block (round 4); flat `data_parallel:`-style keys keep
+    # working, the nested block wins when both are present.
+    par = training_section.pop("parallelism", None) or {}
+    for key, field in _PARALLELISM_KEYS.items():
+        if key in par:
+            training_section[field] = int(par[key])
+    training = _build(TrainingConfig, training_section)
     return ExperimentConfig(
         training=training,
         logging=_build(LoggingConfig, cfg.get("logging")),

@@ -101,7 +101,8 @@ class MultiHeadAttention(nn.Module):
     # - "ring": sequence-parallel ring attention (parallel/sequence.py) —
     #   time sharded over ``seq_mesh``'s ``seq`` axis, K/V blocks rotated
     #   around the ICI ring. For sequences beyond one chip's HBM; requires
-    #   ``seq_mesh`` and rejects attention dropout (docs/SCALING.md
+    #   ``seq_mesh``. Attention dropout is supported (global-coordinate
+    #   counter PRNG — sharding-invariant bits; docs/SCALING.md
     #   "Long videos").
     implementation: str = "xla"
     # Mesh for implementation="ring" (must carry a "seq" axis; batch is
@@ -174,13 +175,10 @@ class MultiHeadAttention(nn.Module):
                     '"seq" axis) — it is a runtime object, pass it when '
                     "constructing the model"
                 )
-            if attn_dropout_active:
-                raise ValueError(
-                    "ring attention does not support attention dropout — "
-                    "train single-chip sequences with implementation="
-                    '"flash"/"auto" (fused on-chip-PRNG dropout); ring is '
-                    "the beyond-HBM inference/fine-tune path"
-                )
+            # Attention dropout rides the ring too: bits keyed on global
+            # (row, key-block) coordinates (parallel/sequence.py), so the
+            # reference's dropout-0.1 training recipe trains sequence-
+            # parallel, invariant to the (data, seq) sharding.
             out = sequence_parallel_attention(
                 q,
                 k,
@@ -188,6 +186,8 @@ class MultiHeadAttention(nn.Module):
                 self.seq_mesh,
                 key_padding_mask=key_padding_mask,
                 batch_axis=self.seq_batch_axis,
+                dropout_rate=self.dropout if attn_dropout_active else 0.0,
+                dropout_rng=dropout_rng,
             )
         elif impl == "flash":
             from vimoclip_tpu.ops.pallas import flash_attention

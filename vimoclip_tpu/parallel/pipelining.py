@@ -29,8 +29,17 @@ Design — idiomatic JAX/TPU, not a port of GPipe's runtime:
 
 Composes with data parallelism: microbatches carry the batch dim sharded
 over ``data`` (pass ``batch_axis``), gradient psums inserted by jit as
-usual. Deterministic (inference / no-dropout) forward only, mirroring the
-ring-attention contract: dropout training targets models that fit one chip.
+usual.
+
+Dropout training (round 4, VERDICT r3 #2): pass ``stage_rng`` — each tick
+derives its key as ``fold_in(base, stage, tick[, data_shard])``, so every
+(stage, microbatch) pair gets an independent deterministic stream and the
+``jax.checkpoint``-wrapped backward regenerates the same bits. Unlike ring
+attention's global-coordinate scheme (parallel/sequence.py), the bit
+stream here DOES depend on the mesh geometry (stage/shard indices key the
+streams) — fine for dropout, whose stream is implementation-defined in
+every stack (PARITY.md), but use the single-chip path for bit-level
+repro studies.
 """
 
 from __future__ import annotations
@@ -99,19 +108,24 @@ def pipeline_apply(
     *,
     pipe_axis: str = PIPE_AXIS,
     batch_axis: str | None = None,
+    stage_rng: jax.Array | None = None,
 ):
     """Run ``stage_fn`` as a GPipe pipeline over ``mesh``'s ``pipe`` axis.
 
     Args:
-        stage_fn: ``(one_stage_params, x) -> y`` where ``x`` and ``y`` share
-            ONE pytree structure with matching shapes/dtypes (the activation
-            pytree that travels the pipeline — e.g. ``(x, motion, masks...)``
-            with pass-through leaves).
+        stage_fn: ``(one_stage_params, x) -> y`` — or, when ``stage_rng`` is
+            given, ``(one_stage_params, x, rng) -> y`` — where ``x`` and
+            ``y`` share ONE pytree structure with matching shapes/dtypes
+            (the activation pytree that travels the pipeline — e.g.
+            ``(x, motion, masks...)`` with pass-through leaves).
         stage_params: pytree whose leaves carry a leading ``n_stages`` dim
             (see :func:`stack_stage_params`); sharded over ``pipe_axis``.
         microbatches: activation pytree with leading ``(M, microbatch, ...)``
             dims; the microbatch dim may be sharded over ``batch_axis``.
         mesh: mesh containing ``pipe_axis`` (and ``batch_axis`` if given).
+        stage_rng: optional base PRNG key enabling stochastic (dropout)
+            stages — per-tick keys are ``fold_in(base, stage, tick[,
+            data_shard])`` (module docstring).
 
     Returns:
         Outputs with the same ``(M, microbatch, ...)`` layout, replicated
@@ -127,9 +141,15 @@ def pipeline_apply(
             f"size {n} (got {[leaf.shape[:1] for leaf in leaves[:3]]})"
         )
 
-    def body(params, xs):
+    def body(params, xs, rng=None):
         params = jax.tree.map(lambda p: jnp.squeeze(p, 0), params)  # my stage
         sid = lax.axis_index(pipe_axis)
+        if rng is not None:
+            rng = jax.random.fold_in(rng, sid)
+            if batch_axis is not None:
+                # decorrelate the data shards' dropout streams (they hold
+                # DIFFERENT rows of the batch)
+                rng = jax.random.fold_in(rng, lax.axis_index(batch_axis))
         perm = [(i, (i + 1) % n) for i in range(n)]
         m_count = jax.tree.leaves(xs)[0].shape[0]
 
@@ -162,7 +182,14 @@ def pipeline_apply(
             x_in = jax.tree.map(
                 lambda a, b: jnp.where(sid == 0, a, b), mb, state
             )
-            y = stage_fn(params, x_in)
+            if rng is None:
+                y = stage_fn(params, x_in)
+            else:
+                # stage sid processes microbatch t - sid at tick t, so
+                # fold_in(rng, t) gives each (stage, microbatch) pair its
+                # own deterministic stream (regenerated by the checkpointed
+                # backward)
+                y = stage_fn(params, x_in, jax.random.fold_in(rng, t))
             # the LAST stage finishes microbatch t-(n-1) at tick t; warm-up
             # and drain ticks (and every other stage) write nothing
             out_idx = jnp.clip(t - (n - 1), 0, m_count - 1)
@@ -200,6 +227,13 @@ def pipeline_apply(
 
     params_spec = P(pipe_axis)
     xs_spec = P(None, batch_axis)
+    if stage_rng is not None:
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(params_spec, xs_spec, P()),
+            out_specs=xs_spec,
+        )(stage_params, microbatches, stage_rng)
     return jax.shard_map(
         body,
         mesh=mesh,
@@ -221,6 +255,7 @@ def tfam_cross_pipeline_logits(
     pipe_axis: str = PIPE_AXIS,
     batch_axis: str | None = None,
     dtype=jnp.float32,
+    dropout_rng: jax.Array | None = None,
 ):
     """The flagship TFAM forward (cross-attention fusion) with its encoder
     layers pipelined over ``pipe_axis``.
@@ -238,6 +273,12 @@ def tfam_cross_pipeline_logits(
     into ``mesh.shape[pipe_axis]`` stages (consecutive layers per stage).
     ``n_micro`` defaults to the number of stages (the minimum that keeps
     every stage busy outside the bubble).
+
+    ``dropout_rng`` enables TRAINING mode: the config's dropout /
+    mlp_dropout apply inside the pipelined stages (per-(stage, microbatch)
+    keys, see :func:`pipeline_apply`) and the classifier head — the full
+    reference recipe (dropout 0.1, cfg_AK/config_default.yaml) trains
+    pipelined. Omit it for the deterministic bit-parity forward.
     """
     import flax.linen as nn
 
@@ -288,26 +329,46 @@ def tfam_cross_pipeline_logits(
         [params[f"layers_{i}"] for i in range(cfg.num_layers)], n_stages
     )
 
-    def stage_fn(stage_p, xin):
+    per_stage = cfg.num_layers // n_stages
+
+    def stage_fn(stage_p, xin, rng=None):
         x, mot, a_rgb, a_flow = xin
 
-        def one_layer(x, lp):
-            return layer_mod.apply(
-                {"params": lp},
-                x,
-                cross_src=mot,
-                src_key_padding_mask=a_rgb,
-                cross_key_padding_mask=a_flow,
-                deterministic=True,
-            ), None
+        def one_layer(x, scanned):
+            lp, layer_idx = scanned
+            if rng is None:
+                out = layer_mod.apply(
+                    {"params": lp},
+                    x,
+                    cross_src=mot,
+                    src_key_padding_mask=a_rgb,
+                    cross_key_padding_mask=a_flow,
+                    deterministic=True,
+                )
+            else:
+                out = layer_mod.apply(
+                    {"params": lp},
+                    x,
+                    cross_src=mot,
+                    src_key_padding_mask=a_rgb,
+                    cross_key_padding_mask=a_flow,
+                    deterministic=False,
+                    rngs={"dropout": jax.random.fold_in(rng, layer_idx)},
+                )
+            return out, None
 
-        x, _ = lax.scan(one_layer, x, stage_p)
+        x, _ = lax.scan(
+            one_layer, x, (stage_p, jnp.arange(per_stage, dtype=jnp.int32))
+        )
         return (x, mot, a_rgb, a_flow)
 
     micro = split_microbatches((rgb_emb, motion_emb, attn_rgb, attn_flow), n_micro)
+    stage_rng = None
+    if dropout_rng is not None:
+        dropout_rng, stage_rng = jax.random.split(dropout_rng)
     out = pipeline_apply(
         stage_fn, stage_params, micro, mesh,
-        pipe_axis=pipe_axis, batch_axis=batch_axis,
+        pipe_axis=pipe_axis, batch_axis=batch_axis, stage_rng=stage_rng,
     )
     x = merge_microbatches(out)[0]
 
@@ -327,12 +388,13 @@ def tfam_cross_pipeline_logits(
         """TFAM's classifier head with the model's own param names."""
 
         @nn.compact
-        def __call__(self, pooled):
+        def __call__(self, pooled, deterministic=True):
             h = nn.LayerNorm(epsilon=_LN_EPS, name="classifier_norm")(
                 pooled.astype(jnp.float32)
             )
             h = nn.Dense(cfg.d_model // 2, name="classifier_dense1")(h)
             h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(cfg.mlp_dropout, deterministic=deterministic)(h)
             num_classes = params["classifier_dense2"]["kernel"].shape[1]
             return nn.Dense(num_classes, name="classifier_dense2")(h)
 
@@ -340,4 +402,9 @@ def tfam_cross_pipeline_logits(
         k: params[k]
         for k in ("classifier_norm", "classifier_dense1", "classifier_dense2")
     }
+    if dropout_rng is not None:
+        return _Head().apply(
+            {"params": head_params}, pooled, deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
     return _Head().apply({"params": head_params}, pooled)

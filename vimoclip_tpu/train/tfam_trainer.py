@@ -81,17 +81,68 @@ class TFAMTrainer:
         mesh=None,
     ):
         self.config = config
+        tcfg = config.training
+        if tcfg.seq_parallel > 1 and tcfg.pipeline_parallel > 1:
+            raise ValueError(
+                "training.parallelism: seq and pipe cannot be combined in "
+                "one run (ring attention inside GPipe stages is not wired); "
+                "pick the axis matching what outgrows the chip — time (seq) "
+                "or depth (pipe)"
+            )
+        if tcfg.pipeline_parallel > 1 and not (
+            config.model.use_cross_attention
+            and not config.model.use_only_rgb
+            and not config.model.use_only_flow
+        ):
+            raise ValueError(
+                "training.parallelism: pipe requires the cross-attention "
+                "fusion mode (parallel.tfam_cross_pipeline_logits pipelines "
+                "that path; other modes fit one chip)"
+            )
         self.mesh = mesh if mesh is not None else create_mesh(
-            MeshConfig(config.training.data_parallel, config.training.model_parallel)
+            MeshConfig(
+                tcfg.data_parallel,
+                tcfg.model_parallel,
+                seq_parallel=tcfg.seq_parallel,
+                pipeline_parallel=tcfg.pipeline_parallel,
+            )
+        )
+        self._dtype = (
+            jnp.bfloat16 if config.training.half_precision else jnp.float32
         )
         # attention_impl="auto" works under any mesh: the flash kernel
         # partitions over (batch, heads) via custom_partitioning
         # (ops/pallas/flash_attention.py) with per-(row, head) dropout
         # seeds, so sharded results are bit-identical to unsharded.
         # attention_impl="xla" remains the escape hatch.
+        #
+        # training.parallelism {seq: N} forces attention_impl="ring" with
+        # the trainer's own mesh threaded in: time sharded over the `seq`
+        # axis, attention dropout riding the ring with sharding-invariant
+        # global-coordinate bits (parallel/sequence.py) — the reference
+        # dropout-0.1 recipe trains beyond one chip's HBM.
+        import dataclasses
+
+        model_kwargs = {}
+        model_cfg = config.model
+        if tcfg.seq_parallel > 1:
+            model_cfg = dataclasses.replace(model_cfg, attention_impl="ring")
+            from vimoclip_tpu.parallel.mesh import DATA_AXIS
+
+            model_kwargs = dict(seq_mesh=self.mesh, seq_batch_axis=DATA_AXIS)
         self.model = TFAM(
-            config=config.model, num_classes=config.num_classes,
-            dtype=jnp.bfloat16 if config.training.half_precision else jnp.float32,
+            config=model_cfg, num_classes=config.num_classes,
+            dtype=self._dtype, **model_kwargs,
+        )
+        # Param INIT always runs the plain single-device forward: the ring/
+        # pipe paths need mesh-divisible shapes the dummy init inputs don't
+        # have, and the attention impl never changes the param tree.
+        self._init_model = (
+            TFAM(
+                config=dataclasses.replace(config.model, attention_impl="xla"),
+                num_classes=config.num_classes, dtype=self._dtype,
+            )
+            if model_kwargs else self.model
         )
         # Init keys stay on the default (threefry) generator so initial
         # weights are identical regardless of dropout_rng_impl; only the
@@ -151,7 +202,7 @@ class TFAMTrainer:
         d = self.config.model.d_model
         dummy_rgb = jnp.zeros((1, 4, d), jnp.float32)
         dummy_motion = jnp.zeros((1, 3, d), jnp.float32)
-        params = self.model.init(
+        params = self._init_model.init(
             self.keys("init"), dummy_rgb, dummy_motion,
             jnp.ones((1, 4), bool), jnp.ones((1, 3), bool),
         )["params"]
@@ -166,6 +217,24 @@ class TFAMTrainer:
         return commit_replicated(TrainState.create(params, tx), self.mesh)
 
     def _apply(self, params, batch, deterministic, rngs=None):
+        tcfg = self.config.training
+        if tcfg.pipeline_parallel > 1:
+            # training.parallelism {pipe: N}: the encoder layers run as
+            # GPipe stages over the mesh's `pipe` axis; dropout (when
+            # training) uses per-(stage, microbatch) keys
+            # (parallel/pipelining.py).
+            from vimoclip_tpu.parallel import tfam_cross_pipeline_logits
+            from vimoclip_tpu.parallel.mesh import DATA_AXIS
+
+            return tfam_cross_pipeline_logits(
+                params, self.config.model, self.mesh,
+                batch["embeddings"], batch["motion_embeddings"],
+                batch["mask_rgb"], batch["mask_motion"],
+                n_micro=tcfg.pipeline_microbatches,
+                batch_axis=DATA_AXIS,
+                dtype=self._dtype,
+                dropout_rng=None if deterministic else rngs["dropout"],
+            )
         return self.model.apply(
             {"params": params},
             batch["embeddings"], batch["motion_embeddings"],
