@@ -42,6 +42,16 @@ def main(argv: list[str] | None = None) -> None:
                         "geometry: r=4 1.38x at cosine 0.984, r=8 1.86x at "
                         "0.966 — docs/PERF.md ledger 16 / tools/bench_tome.py "
                         "--model b32) — approximate, NOT the parity path")
+    p.add_argument("--verify-fidelity", type=int, default=0, metavar="N",
+                   help="before exporting, run N frames sampled from the "
+                        "first motion video through BOTH the exact and the "
+                        "--quantize/--token-merge student tower and report "
+                        "the cosine — YOUR checkpoint's fidelity, not the "
+                        "random-init pin (fidelity.py); aborts below "
+                        "--fidelity-threshold")
+    p.add_argument("--fidelity-threshold", type=float, default=0.97,
+                   help="minimum per-frame cosine the --verify-fidelity "
+                        "probe must reach (default 0.97)")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -85,6 +95,20 @@ def main(argv: list[str] | None = None) -> None:
 
     videos = find_motion_videos(args.videos_dir)
     logging.info("found %d motion videos", len(videos))
+
+    if args.verify_fidelity and (
+        vision_config.matmul_quant or vision_config.token_merge_r
+    ):
+        if not videos:
+            raise SystemExit("--verify-fidelity: no motion videos to probe")
+        from vimoclip_tpu.fidelity import check_encoder_fidelity
+
+        tower = state.params.get("visual_encoder", state.params)
+        check_encoder_fidelity(
+            tower, vision_config, videos[0],
+            args.verify_fidelity, args.fidelity_threshold,
+            half_precision=not args.float32, encoder_name="student ViT",
+        )
 
     exporter = MotionEmbeddingExporter(
         state.params, vision_config,

@@ -47,6 +47,16 @@ def main(argv: list[str] | None = None) -> None:
                         "encoder block (r=16 halves ViT-B/16 block FLOPs "
                         "at the paper's sub-point accuracy cost) — NOT "
                         "the parity path")
+    p.add_argument("--verify-fidelity", type=int, default=0, metavar="N",
+                   help="before extracting, run N frames sampled from the "
+                        "first annotated video through BOTH the exact and "
+                        "the --quantize/--token-merge encoder and report "
+                        "the cosine — YOUR checkpoint's fidelity, not the "
+                        "random-init pin (fidelity.py); aborts below "
+                        "--fidelity-threshold")
+    p.add_argument("--fidelity-threshold", type=float, default=0.97,
+                   help="minimum per-frame cosine the --verify-fidelity "
+                        "probe must reach (default 0.97)")
     p.add_argument("--num-shards", type=int, default=1,
                    help="split the annotation list over this many extraction "
                         "jobs (pair with --shard-index; merge outputs with "
@@ -75,6 +85,18 @@ def main(argv: list[str] | None = None) -> None:
         )
         logging.info("approximate encoder options: quantize=%s token_merge=%d",
                      args.quantize, args.token_merge)
+    if args.verify_fidelity and (config.matmul_quant or config.token_merge_r):
+        import os
+
+        from vimoclip_tpu.extraction import load_annotations
+        from vimoclip_tpu.fidelity import check_encoder_fidelity
+
+        first_vid = load_annotations(args.annotation_file)[0][0]
+        check_encoder_fidelity(
+            params, config, os.path.join(args.data_root, first_vid),
+            args.verify_fidelity, args.fidelity_threshold,
+            half_precision=not args.float32, encoder_name="teacher ViT",
+        )
     mesh = None
     if args.data_parallel > 1:
         from vimoclip_tpu.parallel import MeshConfig, create_mesh

@@ -66,6 +66,16 @@ def main(argv: list[str] | None = None) -> None:
                         "(ops/tome.py; the student's t=50 has too few "
                         "tokens to pay off) — approximate, NOT the parity "
                         "path")
+    p.add_argument("--verify-fidelity", type=int, default=0, metavar="N",
+                   help="before predicting, run N frames sampled from the "
+                        "first video through BOTH the exact and the "
+                        "--quantize/--token-merge towers and report the "
+                        "cosine — YOUR checkpoints' fidelity, not the "
+                        "random-init pin (fidelity.py); aborts below "
+                        "--fidelity-threshold")
+    p.add_argument("--fidelity-threshold", type=float, default=0.97,
+                   help="minimum per-frame cosine the --verify-fidelity "
+                        "probe must reach (default 0.97)")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard each fixed-shape frame batch over this many "
                         "devices (the extractor's mesh scheme; frame-batch "
@@ -163,6 +173,23 @@ def main(argv: list[str] | None = None) -> None:
             args.tfam_torch_checkpoint,
             num_layers=cfg.model.num_layers, d_model=cfg.model.d_model,
         )
+
+    if args.verify_fidelity:
+        from vimoclip_tpu.fidelity import check_encoder_fidelity
+
+        if teacher_config.matmul_quant or teacher_config.token_merge_r:
+            check_encoder_fidelity(
+                teacher_params, teacher_config, args.videos[0],
+                args.verify_fidelity, args.fidelity_threshold,
+                half_precision=not args.float32, encoder_name="teacher ViT",
+            )
+        if student_config.matmul_quant or student_config.token_merge_r:
+            tower = sstate.params.get("visual_encoder", sstate.params)
+            check_encoder_fidelity(
+                tower, student_config, args.videos[0],
+                args.verify_fidelity, args.fidelity_threshold,
+                half_precision=not args.float32, encoder_name="student ViT",
+            )
 
     class_names: dict[int, str] = {}
     path = cfg.data.class_names_dir

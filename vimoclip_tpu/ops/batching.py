@@ -33,15 +33,24 @@ def embed_in_fixed_batches(
     over an arbitrary-length frame stack; returns (len(frames), out_dim).
 
     ``frames`` may be host numpy or a device array; either way device
-    residency stays ONE padded chunk. Host inputs are uploaded chunk by
-    chunk (never the whole stack — an hours-long video would not fit HBM);
-    device-resident inputs are sliced/padded with jnp ops on their own
-    device and never bounce through the host (only the small embeddings
-    do)."""
+    residency stays bounded by TWO padded chunks. Host inputs are uploaded
+    chunk by chunk (never the whole stack — an hours-long video would not
+    fit HBM); device-resident inputs are sliced/padded with jnp ops on
+    their own device and never bounce through the host (only the small
+    embeddings do).
+
+    One-deep pipeline (round 4, VERDICT r3 #4): chunk ``i+1``'s
+    host->device upload and compute are DISPATCHED before chunk ``i``'s
+    embeddings are fetched, so with JAX's async dispatch the PCIe/ICI
+    transfer of the next chunk overlaps the current forward — the same
+    scheme the extractor uses (docs/PERF.md ledger #8). Outputs are
+    bit-identical to the serial order: same programs, same data, only the
+    host-side fetch point moves."""
     import jax.numpy as jnp
 
     on_device = not isinstance(frames, np.ndarray)
     out = []
+    pending: tuple | None = None  # (device embeddings, valid row count)
     for i in range(0, frames.shape[0], batch_size):
         chunk = frames[i : i + batch_size]
         n = chunk.shape[0]
@@ -53,7 +62,12 @@ def embed_in_fixed_batches(
                 )
             else:
                 chunk = pad_to_batch(np.asarray(chunk), batch_size)
-        out.append(np.asarray(embed_fn(jnp.asarray(chunk)))[:n])
+        dev = embed_fn(jnp.asarray(chunk))  # enqueue upload + forward
+        if pending is not None:
+            out.append(np.asarray(pending[0])[: pending[1]])
+        pending = (dev, n)
+    if pending is not None:
+        out.append(np.asarray(pending[0])[: pending[1]])
     return (
         np.concatenate(out) if out else np.zeros((0, out_dim), np.float32)
     )
