@@ -330,3 +330,46 @@ def test_tfam_bucket_invariance_random_lengths(seed):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("variant", ["fused", "fused_qkv"])
+def test_head_proj_fused_matches_split(variant):
+    """head_proj="fused"/"fused_qkv" (ops/attention._FusedHeadProj/
+    _FusedOutProj) is a SCHEDULING change only: identical param tree, same
+    math — outputs match the reference-structure split path (docs/PERF.md
+    data-formatting experiment)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vimoclip_tpu.config import TFAMModelConfig
+    from vimoclip_tpu.models.tfam import TFAM
+
+    cfg = TFAMModelConfig(
+        d_model=32, nhead=4, num_layers=2, dim_feedforward=64,
+        dropout=0.0, mlp_dropout=0.0, attention_impl="xla",
+    )
+    rng = np.random.default_rng(7)
+    rgb = jnp.asarray(rng.normal(size=(2, 9, 32)).astype(np.float32))
+    mot = jnp.asarray(rng.normal(size=(2, 8, 32)).astype(np.float32))
+    mr = jnp.arange(9)[None, :] < jnp.array([9, 5])[:, None]
+    mf = jnp.arange(8)[None, :] < jnp.array([8, 4])[:, None]
+
+    split = TFAM(cfg, num_classes=5)
+    fused = TFAM(dataclasses.replace(cfg, head_proj=variant), num_classes=5)
+    params = split.init(jax.random.key(0), rgb, mot, mr, mf)
+    fparams = fused.init(jax.random.key(0), rgb, mot, mr, mf)
+    # identical param trees (shapes AND values: same init fns, same rngs)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(fparams)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_s = split.apply(params, rgb, mot, mr, mf)
+    out_f = fused.apply(params, rgb, mot, mr, mf)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_s), atol=1e-5
+    )

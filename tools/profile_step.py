@@ -37,9 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import EXTRACTION_RECIPE, STUDENT_RECIPE, TFAM_RECIPE  # noqa: E402
 
 
-def build_tfam():
+def build_tfam(head_proj="split"):
     """The bench.py TFAM recipe step (match: AMO_CLIP.py:6-51 shapes,
-    cfg_AK/config_default.yaml recipe)."""
+    cfg_AK/config_default.yaml recipe). ``head_proj`` switches the MHA
+    projection scheduling (ops/attention.py) for the A/B trace."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -54,7 +55,8 @@ def build_tfam():
     )
     model = TFAM(
         config=TFAMModelConfig(d_model=d, nhead=8, num_layers=layers,
-                               dim_feedforward=ff, attention_impl="auto"),
+                               dim_feedforward=ff, attention_impl="auto",
+                               head_proj=head_proj),
         num_classes=classes, dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
@@ -223,6 +225,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--target", choices=sorted(BUILDERS), default="tfam")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--head-proj", default="split", choices=["split", "fused"],
+                    help="tfam only: MHA projection scheduling A/B")
     args = ap.parse_args(argv)
     out = args.out or f"/tmp/profile_{args.target}"
 
@@ -234,7 +238,10 @@ def main(argv=None) -> int:
     except Exception:
         pass
 
-    timed, fn_args, iters = BUILDERS[args.target]()
+    builder = BUILDERS[args.target]
+    timed, fn_args, iters = (
+        builder(head_proj=args.head_proj) if args.target == "tfam" else builder()
+    )
     float(timed(*fn_args))  # compile + warm
     t0 = time.perf_counter()
     float(timed(*fn_args))

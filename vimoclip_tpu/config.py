@@ -130,10 +130,18 @@ class TFAMModelConfig:
     # partitions over (batch, heads) via custom_partitioning with
     # per-(row, head) dropout seeds, so sharded == unsharded bit-exactly.
     # "ring" shards TIME over a mesh "seq" axis (sequence parallelism,
-    # parallel/sequence.py) for videos beyond one chip's HBM — inference /
-    # no-attention-dropout only; the mesh itself is passed to TFAM(...,
-    # seq_mesh=...) programmatically, never via YAML.
+    # parallel/sequence.py) for videos beyond one chip's HBM; attention
+    # dropout rides the ring (global-coordinate counter PRNG), and the
+    # trainer threads the mesh automatically under
+    # `training.parallelism: {seq: N}` — programmatic callers pass
+    # TFAM(..., seq_mesh=...), never YAML.
     attention_impl: str = "auto"
+    # Head-projection scheduling in MHA (ops/attention.py): "split" =
+    # Dense then reshape+transpose (reference structure); "fused" = head
+    # split/merge folded into the projection einsums — identical params
+    # and math, measured experiment vs the TFAM trace's "data formatting"
+    # slice (docs/PERF.md).
+    head_proj: str = "split"
 
 
 @dataclasses.dataclass

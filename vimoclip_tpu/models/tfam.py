@@ -63,6 +63,7 @@ class AttentionLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"  # reference AttentionLayer default (AMO_CLIP.py:13)
     attention_impl: str = "xla"
+    head_proj: str = "split"  # "fused" folds head split/merge into the matmuls
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 matmuls; params f32)
     # For attention_impl="ring": mesh with a "seq" axis + the batch axis name
     # (runtime objects; threaded from TFAM, never from YAML).
@@ -90,6 +91,7 @@ class AttentionLayer(nn.Module):
         attn_out = MultiHeadAttention(
             self.d_model, self.num_heads, dropout=self.dropout,
             dtype=self.dtype, implementation=self.attention_impl,
+            head_proj=self.head_proj,
             seq_mesh=self.seq_mesh, seq_batch_axis=self.seq_batch_axis,
             name="self_attn"
         )(x, key_padding_mask=src_key_padding_mask, deterministic=deterministic)
@@ -99,6 +101,7 @@ class AttentionLayer(nn.Module):
             attn_out = MultiHeadAttention(
                 self.d_model, self.num_heads, dropout=self.dropout,
                 dtype=self.dtype, implementation=self.attention_impl,
+                head_proj=self.head_proj,
                 seq_mesh=self.seq_mesh, seq_batch_axis=self.seq_batch_axis,
                 name="cross_attn"
             )(
@@ -166,6 +169,7 @@ class TFAM(nn.Module):
                 dropout=cfg.dropout,
                 activation=cfg.activation,
                 attention_impl=cfg.attention_impl,
+                head_proj=cfg.head_proj,
                 dtype=self.dtype,
                 seq_mesh=self.seq_mesh,
                 seq_batch_axis=self.seq_batch_axis,

@@ -68,6 +68,58 @@ def dot_product_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=precision)
 
 
+class _FusedHeadProj(nn.Module):
+    """(B, T, E) -> (B, H, T, Dh) projection with ``nn.Dense``'s EXACT param
+    layout (kernel (E, E), bias (E,), same initializers) — the head split +
+    transpose is folded into the matmul's output indexing (einsum), so XLA
+    can materialise the head-major layout as the matmul writes instead of
+    keeping a separate transpose op (the 0.6 ms/step "data formatting"
+    slice of the TFAM trace, docs/PERF.md)."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        e, h = self.embed_dim, self.num_heads
+        dh = e // h
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (e, e), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (e,), jnp.float32)
+        y = jnp.einsum(
+            "btd,dhk->bhtk",
+            x.astype(self.dtype),
+            kernel.reshape(e, h, dh).astype(self.dtype),
+        )
+        return y + bias.reshape(h, dh)[None, :, None, :].astype(self.dtype)
+
+
+class _FusedOutProj(nn.Module):
+    """(B, H, T, Dh) -> (B, T, E) output projection, ``nn.Dense`` param
+    layout, head-major -> token-major transpose folded into the matmul."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        e, h = self.embed_dim, self.num_heads
+        dh = e // h
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (e, e), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (e,), jnp.float32)
+        out = jnp.einsum(
+            "bhtd,hde->bte",
+            y.astype(self.dtype),
+            kernel.reshape(h, dh, e).astype(self.dtype),
+        )
+        return out + bias.astype(self.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """torch-compatible MHA: q/k/v/out projections with bias, attention
     dropout, key-padding masking.
@@ -116,6 +168,15 @@ class MultiHeadAttention(nn.Module):
     # ``dtype`` (they are ~4% of the block's FLOPs and the score tensor's
     # softmax needs float range).
     quant: str | None = None
+    # "split" (default): Dense projection then reshape+transpose to head-
+    # major (reference numerics path). "fused": fold the head split AND
+    # the output re-merge into projection einsums (_FusedHeadProj/
+    # _FusedOutProj); "fused_qkv": fold only the q/k/v split, keep the
+    # split-path output projection. Identical params and math, different
+    # XLA scheduling — the measured experiment against the TFAM trace's
+    # 0.6 ms "data formatting" slice (docs/PERF.md). Ignored (split) when
+    # quant is active.
+    head_proj: str = "split"
 
     # Measured on the v5e chip (docs/PERF.md "flash vs XLA crossover"):
     # with dropout active the fused-PRNG kernel wins from t=256 (and wins
@@ -150,9 +211,21 @@ class MultiHeadAttention(nn.Module):
             b, s, _ = t.shape
             return t.reshape(b, s, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q = split_heads(dense("q_proj")(x))
-        k = split_heads(dense("k_proj")(kv))
-        v = split_heads(dense("v_proj")(kv))
+        fused_qkv = (
+            self.head_proj in ("fused", "fused_qkv") and self.quant is None
+        )
+        fused_out = self.head_proj == "fused" and self.quant is None
+        if fused_qkv:
+            head_proj = lambda name: _FusedHeadProj(
+                self.embed_dim, self.num_heads, dtype=self.dtype, name=name
+            )
+            q = head_proj("q_proj")(x)
+            k = head_proj("k_proj")(kv)
+            v = head_proj("v_proj")(kv)
+        else:
+            q = split_heads(dense("q_proj")(x))
+            k = split_heads(dense("k_proj")(kv))
+            v = split_heads(dense("v_proj")(kv))
 
         dropout_rng = None
         attn_dropout_active = self.dropout > 0.0 and not deterministic
@@ -216,6 +289,11 @@ class MultiHeadAttention(nn.Module):
                 deterministic=deterministic,
                 dropout_rng=dropout_rng,
             )
+        if fused_out:
+            return _FusedOutProj(
+                self.embed_dim, self.num_heads, dtype=self.dtype,
+                name="out_proj",
+            )(out)
         b, _, s, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.embed_dim)
         return dense("out_proj")(out)
