@@ -14,7 +14,8 @@ native:
 bench:
 	python bench.py
 
-# full 21-config Table-2 sweep on a synthetic cascade corpus (~6 min, CPU);
+# full 21-config Table-2 sweep on the two-factor synthetic corpus (~45 min,
+# CPU; 20 epochs so the fused modes converge to the Table-2 ordering);
 # rewrites the committed SWEEP.json artifact
 sweep:
 	python tools/run_table2_sweep.py --out SWEEP.json
