@@ -166,3 +166,35 @@ def test_bf16_close_to_f32(hf_model_and_state):
         np.linalg.norm(f32, axis=-1) * np.linalg.norm(bf16, axis=-1)
     )
     assert cos.min() > 0.995
+
+
+@pytest.mark.parametrize("variant", ["fused", "fused_qkv"])
+def test_head_proj_fused_matches_split_vit(variant):
+    """ClipVisionConfig.head_proj is a scheduling switch only — identical
+    param tree and outputs vs the split path (docs/PERF.md ledger 17)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vimoclip_tpu.models.clip_vit import ClipVisionConfig, ClipVisionEncoder
+
+    cfg = ClipVisionConfig(
+        image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+        num_heads=4, intermediate_size=128, projection_dim=32,
+    )
+    pixels = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    )
+    split = ClipVisionEncoder(cfg)
+    fused = ClipVisionEncoder(dataclasses.replace(cfg, head_proj=variant))
+    params = split.init(jax.random.key(0), pixels)
+    fparams = fused.init(jax.random.key(0), pixels)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(fparams)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(params, pixels)),
+        np.asarray(split.apply(params, pixels)),
+        atol=2e-5,
+    )

@@ -53,6 +53,14 @@ class ClipVisionConfig:
     # default: at the ViT's t=197 the XLA path wins (docs/PERF.md crossover
     # + the extraction A/B in the optimization ledger).
     attention_impl: str = "xla"
+    # Head-projection scheduling in the encoder's MHA ("split" | "fused" |
+    # "fused_qkv", ops/attention.py): identical params/math, different XLA
+    # scheduling of the head-major transposes. "fused" is the measured
+    # winner at the ViT geometry (E=768, 12 heads): extraction forward
+    # +3.1%, student train step +2.5% on the chip — while the SAME change
+    # loses 5% at TFAM's E=512 geometry, which keeps "split"
+    # (docs/PERF.md ledger 17; tools/bench_headproj.py both targets).
+    head_proj: str = "fused"
     # Matmul quantization for the encoder blocks (None | "int8",
     # ops/quant.py): dynamic-int8 MXU matmuls for the attention projections
     # + MLP (~94% of the ViT's matmul FLOPs) on inference-only forwards
@@ -107,7 +115,7 @@ class ClipEncoderLayer(nn.Module):
         h = MultiHeadAttention(
             cfg.hidden_size, cfg.num_heads, dtype=self.dtype,
             implementation=cfg.attention_impl, quant=cfg.matmul_quant,
-            name="attn"
+            head_proj=cfg.head_proj, name="attn"
         )(h, deterministic=True)
         x = x + h
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm2")(x)
