@@ -420,3 +420,45 @@ def test_mesh_config_seq_resolution():
     assert mesh.axis_names == ("data", "model", "seq")
     # default stays 2-D — nothing downstream sees a new axis unasked
     assert create_mesh(MeshConfig(8, 1)).axis_names == ("data", "model")
+
+
+def test_ring_composes_with_tensor_parallel(devices):
+    """(data=2, model=2, seq=2) on one mesh: ring attention inside a model
+    whose FFN/attention weights are TP-sharded still reproduces the
+    unsharded XLA forward — XLA inserts the reshards between the TP
+    matmuls and the shard_map's (data, seq) specs."""
+    import dataclasses
+
+    from vimoclip_tpu.config import TFAMModelConfig
+    from vimoclip_tpu.models.tfam import TFAM
+    from vimoclip_tpu.parallel import (
+        TFAM_PARTITION_RULES,
+        batch_sharding,
+        shard_params,
+    )
+
+    mesh = create_mesh(MeshConfig(2, 2, seq_parallel=2))
+    assert dict(mesh.shape) == {"data": 2, "model": 2, "seq": 2}
+    cfg = TFAMModelConfig(
+        d_model=32, nhead=4, num_layers=2, dim_feedforward=64,
+        dropout=0.0, mlp_dropout=0.0, attention_impl="ring",
+    )
+    model = TFAM(cfg, num_classes=6, seq_mesh=mesh, seq_batch_axis="data")
+    xla_model = TFAM(
+        dataclasses.replace(cfg, attention_impl="xla"), num_classes=6
+    )
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.normal(size=(4, 8, 32)).astype(np.float32))
+    mot = jnp.asarray(rng.normal(size=(4, 8, 32)).astype(np.float32))
+    mr = jnp.arange(8)[None, :] < jnp.array([8, 5, 7, 6])[:, None]
+    mf = jnp.arange(8)[None, :] < jnp.array([7, 4, 6, 5])[:, None]
+    params = xla_model.init(jax.random.key(0), rgb, mot, mr, mf)["params"]
+    expect = xla_model.apply({"params": params}, rgb, mot, mr, mf)
+
+    sharded = shard_params(params, TFAM_PARTITION_RULES, mesh)
+    bs = batch_sharding(mesh)
+    args = tuple(jax.device_put(a, bs) for a in (rgb, mot, mr, mf))
+    got = jax.jit(
+        lambda p, *a: model.apply({"params": p}, *a)
+    )(sharded, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
