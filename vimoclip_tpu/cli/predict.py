@@ -26,11 +26,9 @@ import os
 from vimoclip_tpu.utils.logging import setup_logging
 
 
-def main(argv: list[str] | None = None) -> None:
-    p = argparse.ArgumentParser(
-        description="Predict actions for raw videos (full fused cascade)"
-    )
-    p.add_argument("videos", nargs="+", help="video file(s)")
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    """The weight/config/turbo flags shared by vimo-predict and vimo-serve
+    (cli/serve.py builds the identical predictor from them)."""
     p.add_argument("--teacher-weights", required=True,
                    help="CLIP visual weights (safetensors/.pt/.pth/HF dir)")
     p.add_argument("--student-checkpoint-dir", required=True,
@@ -86,12 +84,18 @@ def main(argv: list[str] | None = None) -> None:
                         "what a clip is co-batched with, AMO_CLIP.py:170); "
                         "default is batch-invariant masked pooling, "
                         "bit-identical for single videos — serving.py")
-    args = p.parse_args(argv)
+
+
+def validate_model_args(p: argparse.ArgumentParser, args) -> None:
     if (args.tfam_checkpoint_dir is None) == (args.tfam_torch_checkpoint is None):
         p.error("exactly one of --tfam-checkpoint-dir / "
                 "--tfam-torch-checkpoint is required")
 
-    setup_logging()
+
+def build_predictor(args, probe_video: str | None = None):
+    """Load all three stages' weights and construct the fused predictor
+    (shared by vimo-predict and vimo-serve). ``probe_video`` feeds the
+    optional --verify-fidelity guard rail."""
     from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
@@ -174,19 +178,19 @@ def main(argv: list[str] | None = None) -> None:
             num_layers=cfg.model.num_layers, d_model=cfg.model.d_model,
         )
 
-    if args.verify_fidelity:
+    if args.verify_fidelity and probe_video is not None:
         from vimoclip_tpu.fidelity import check_encoder_fidelity
 
         if teacher_config.matmul_quant or teacher_config.token_merge_r:
             check_encoder_fidelity(
-                teacher_params, teacher_config, args.videos[0],
+                teacher_params, teacher_config, probe_video,
                 args.verify_fidelity, args.fidelity_threshold,
                 half_precision=not args.float32, encoder_name="teacher ViT",
             )
         if student_config.matmul_quant or student_config.token_merge_r:
             tower = sstate.params.get("visual_encoder", sstate.params)
             check_encoder_fidelity(
-                tower, student_config, args.videos[0],
+                tower, student_config, probe_video,
                 args.verify_fidelity, args.fidelity_threshold,
                 half_precision=not args.float32, encoder_name="student ViT",
             )
@@ -204,7 +208,7 @@ def main(argv: list[str] | None = None) -> None:
 
         mesh = create_mesh(MeshConfig(args.data_parallel, 1))
 
-    predictor = ViMoCLIPPredictor(
+    return ViMoCLIPPredictor(
         teacher_params=teacher_params, teacher_config=teacher_config,
         student_params=sstate.params, student_config=student_config,
         tfam_params=fparams, tfam_config=cfg.model,
@@ -217,16 +221,35 @@ def main(argv: list[str] | None = None) -> None:
         mesh=mesh,
     )
 
+
+def find_motion_match(motion_videos_dir: str | None, video: str) -> str | None:
+    """Match a precomputed motion video by filename stem (reference keying:
+    flow key = rgb key minus extension, TFAM/data/dataset.py:65)."""
+    if not motion_videos_dir:
+        return None
+    stem = os.path.splitext(os.path.basename(video))[0]
+    for ext in (".mp4", ".avi", ".mkv", ".webm"):
+        cand = os.path.join(motion_videos_dir, stem + ext)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(
+        description="Predict actions for raw videos (full fused cascade)"
+    )
+    p.add_argument("videos", nargs="+", help="video file(s)")
+    add_model_args(p)
+    args = p.parse_args(argv)
+    validate_model_args(p, args)
+
+    setup_logging()
+    predictor = build_predictor(args, probe_video=args.videos[0])
+
     results = []
     for video in args.videos:
-        motion_path = None
-        if args.motion_videos_dir:
-            stem = os.path.splitext(os.path.basename(video))[0]
-            for ext in (".mp4", ".avi", ".mkv", ".webm"):
-                cand = os.path.join(args.motion_videos_dir, stem + ext)
-                if os.path.exists(cand):
-                    motion_path = cand
-                    break
+        motion_path = find_motion_match(args.motion_videos_dir, video)
         pred = predictor.predict(
             video, motion_video_path=motion_path,
             top_k=args.top_k, max_frames=args.max_frames,
