@@ -183,3 +183,37 @@ def test_extraction_cli_quantize_end_to_end(tmp_path):
     )
     assert np.all(cos > 0.99), cos
     assert not np.allclose(a, b)  # it really took the quantized path
+
+
+@pytest.mark.parametrize("variant", ["fused", "fused_qkv"])
+def test_int8_composes_with_fused_head_proj(variant):
+    """head_proj="fused"/"fused_qkv" with matmul_quant="int8" is the SAME
+    approximation as the split int8 path — identical dynamic scales
+    (per-token rows, per-output-channel columns), exact int32 accumulation,
+    so outputs match bit for bit (ops/attention._FusedHeadProj/_FusedOutProj
+    int8 branches). Params stay nn.Dense-layout-identical."""
+    import dataclasses
+
+    from vimoclip_tpu.ops.attention import MultiHeadAttention
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 9, 64)).astype(np.float32))
+
+    split = MultiHeadAttention(embed_dim=64, num_heads=4, quant="int8")
+    fused = MultiHeadAttention(
+        embed_dim=64, num_heads=4, quant="int8", head_proj=variant
+    )
+    params = split.init(jax.random.key(0), x)
+    fparams = fused.init(jax.random.key(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(fparams)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(fparams)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(fused.apply(params, x)),
+        np.asarray(split.apply(params, x)),
+    )
+    # and it really is the quantized path, not a silent float fallback
+    noq = MultiHeadAttention(embed_dim=64, num_heads=4, head_proj=variant)
+    assert not np.allclose(
+        np.asarray(noq.apply(params, x)), np.asarray(fused.apply(params, x))
+    )

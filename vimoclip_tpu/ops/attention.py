@@ -74,11 +74,18 @@ class _FusedHeadProj(nn.Module):
     transpose is folded into the matmul's output indexing (einsum), so XLA
     can materialise the head-major layout as the matmul writes instead of
     keeping a separate transpose op (the 0.6 ms/step "data formatting"
-    slice of the TFAM trace, docs/PERF.md)."""
+    slice of the TFAM trace, docs/PERF.md).
+
+    ``quant="int8"`` runs the contraction on int8 operands with the SAME
+    dynamic scales as ``Int8Dense`` (per-token activation rows, per-output-
+    channel kernel columns — ops/quant.py), so the result is bit-identical
+    to Int8Dense-then-split: the int32 accumulations are exact and the
+    output indexing changes nothing about them."""
 
     embed_dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -88,21 +95,42 @@ class _FusedHeadProj(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (e, e), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (e,), jnp.float32)
-        y = jnp.einsum(
-            "btd,dhk->bhtk",
-            x.astype(self.dtype),
-            kernel.reshape(e, h, dh).astype(self.dtype),
-        )
-        return y + bias.reshape(h, dh)[None, :, None, :].astype(self.dtype)
+        if self.quant == "int8":
+            from vimoclip_tpu.ops.quant import quantize_absmax
+
+            xq, xs = quantize_absmax(x, -1)            # (B,T,E), (B,T,1)
+            wq, ws = quantize_absmax(kernel, 0)        # (E,E), (1,E)
+            acc = jnp.einsum(
+                "btd,dhk->bhtk",
+                xq,
+                wq.reshape(e, h, dh),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (
+                xs[:, None, :, :] * ws.reshape(1, h, 1, dh)
+            )
+        else:
+            y = jnp.einsum(
+                "btd,dhk->bhtk",
+                x.astype(self.dtype),
+                kernel.reshape(e, h, dh).astype(self.dtype),
+            )
+        return (
+            y + bias.reshape(h, dh)[None, :, None, :].astype(y.dtype)
+        ).astype(self.dtype)
 
 
 class _FusedOutProj(nn.Module):
     """(B, H, T, Dh) -> (B, T, E) output projection, ``nn.Dense`` param
-    layout, head-major -> token-major transpose folded into the matmul."""
+    layout, head-major -> token-major transpose folded into the matmul.
+    ``quant="int8"``: see _FusedHeadProj — the per-token activation scale
+    reduces over (head, Dh), the merged-layout row, so it matches
+    merge-then-Int8Dense bit for bit."""
 
     embed_dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
@@ -112,12 +140,25 @@ class _FusedOutProj(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (e, e), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (e,), jnp.float32)
-        out = jnp.einsum(
-            "bhtd,hde->bte",
-            y.astype(self.dtype),
-            kernel.reshape(h, dh, e).astype(self.dtype),
-        )
-        return out + bias.astype(self.dtype)
+        if self.quant == "int8":
+            from vimoclip_tpu.ops.quant import quantize_absmax
+
+            yq, ys = quantize_absmax(y, (1, 3))        # scale (B,1,T,1)
+            wq, ws = quantize_absmax(kernel, 0)        # (E,E), (1,E)
+            acc = jnp.einsum(
+                "bhtd,hde->bte",
+                yq,
+                wq.reshape(h, dh, e),
+                preferred_element_type=jnp.int32,
+            )
+            out = acc.astype(jnp.float32) * (ys[:, 0] * ws[None])
+        else:
+            out = jnp.einsum(
+                "bhtd,hde->bte",
+                y.astype(self.dtype),
+                kernel.reshape(h, dh, e).astype(self.dtype),
+            )
+        return (out + bias.astype(out.dtype)).astype(self.dtype)
 
 
 class MultiHeadAttention(nn.Module):
@@ -174,8 +215,9 @@ class MultiHeadAttention(nn.Module):
     # _FusedOutProj); "fused_qkv": fold only the q/k/v split, keep the
     # split-path output projection. Identical params and math, different
     # XLA scheduling — the measured experiment against the TFAM trace's
-    # 0.6 ms "data formatting" slice (docs/PERF.md). Ignored (split) when
-    # quant is active.
+    # 0.6 ms "data formatting" slice (docs/PERF.md). Composes with
+    # ``quant`` bit-identically to the split int8 path (same dynamic
+    # scales, exact int32 accumulation — tests/test_quant.py).
     head_proj: str = "split"
 
     # Measured on the v5e chip (docs/PERF.md "flash vs XLA crossover"):
@@ -211,13 +253,12 @@ class MultiHeadAttention(nn.Module):
             b, s, _ = t.shape
             return t.reshape(b, s, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        fused_qkv = (
-            self.head_proj in ("fused", "fused_qkv") and self.quant is None
-        )
-        fused_out = self.head_proj == "fused" and self.quant is None
+        fused_qkv = self.head_proj in ("fused", "fused_qkv")
+        fused_out = self.head_proj == "fused"
         if fused_qkv:
             head_proj = lambda name: _FusedHeadProj(
-                self.embed_dim, self.num_heads, dtype=self.dtype, name=name
+                self.embed_dim, self.num_heads, dtype=self.dtype,
+                quant=self.quant, name=name,
             )
             q = head_proj("q_proj")(x)
             k = head_proj("k_proj")(kv)
@@ -292,7 +333,7 @@ class MultiHeadAttention(nn.Module):
         if fused_out:
             return _FusedOutProj(
                 self.embed_dim, self.num_heads, dtype=self.dtype,
-                name="out_proj",
+                quant=self.quant, name="out_proj",
             )(out)
         b, _, s, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.embed_dim)

@@ -36,19 +36,26 @@ from jax import lax
 _EPS = 1e-12
 
 
-def quantize_rowwise(x: jax.Array, axis: int = -1) -> tuple[jax.Array, jax.Array]:
-    """Symmetric int8 quantization with one scale per slice along ``axis``.
+def quantize_absmax(
+    x: jax.Array, axes: int | tuple[int, ...] = -1
+) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization with one scale per slice along ``axes``.
 
     Returns ``(q, scale)`` with ``q`` int8 and ``scale`` f32 shaped like
-    ``x`` with ``axis`` reduced (keepdims). ``x * 1`` is recovered as
+    ``x`` with ``axes`` reduced (keepdims). ``x * 1`` is recovered as
     ``q.astype(f32) * scale`` up to rounding. Math runs in f32 regardless of
     input dtype (bf16 inputs would lose mantissa bits during the divide).
     """
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
     scale = jnp.maximum(amax, _EPS) / 127.0
     q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
     return q, scale
+
+
+def quantize_rowwise(x: jax.Array, axis: int = -1) -> tuple[jax.Array, jax.Array]:
+    """``quantize_absmax`` with a single reduction axis (the common case)."""
+    return quantize_absmax(x, axis)
 
 
 def int8_dynamic_matmul(
