@@ -14,9 +14,9 @@ native:
 bench:
 	python bench.py
 
-# full 21-config Table-2 sweep on the two-factor synthetic corpus (~45 min,
-# CPU; 20 epochs so the fused modes converge to the Table-2 ordering);
-# rewrites the committed SWEEP.json artifact
+# full 21-config Table-2 sweep on the two-factor synthetic corpus (~7 min
+# CPU — SWEEP.json wall_s: 422; 20 epochs so the fused modes converge to
+# the Table-2 ordering); rewrites the committed SWEEP.json artifact
 sweep:
 	python tools/run_table2_sweep.py --out SWEEP.json
 

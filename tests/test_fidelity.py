@@ -142,3 +142,60 @@ def test_extract_cli_verify_fidelity(tmp_path):
     with pytest.raises(FidelityError):
         main(base + ["--output", bad_out, "--fidelity-threshold", "1.0"])
     assert not os.path.exists(bad_out)  # aborted before any write
+
+
+def test_extract_cli_probe_shard_aware_and_decode_tolerant(tmp_path):
+    """The probe samples THIS shard's corpus and skips unreadable files the
+    way extraction itself does (warn + continue) — a missing first video
+    must not abort a job that extraction would have completed."""
+    import torch
+    from transformers import CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from vimoclip_tpu.cli.extract_embeddings import main
+    from vimoclip_tpu.data.video_reader import write_video
+
+    rng = np.random.default_rng(6)
+    root = str(tmp_path / "videos")
+    os.makedirs(root)
+    # v0 is annotated but MISSING on disk; v1/v2 exist. With 2 shards,
+    # shard 0 sees (v0, v2): probe must skip v0 and succeed on v2.
+    for name in ("v1.mp4", "v2.mp4"):
+        write_video(os.path.join(root, name),
+                    rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8))
+    ann = str(tmp_path / "train.txt")
+    with open(ann, "w") as f:
+        f.write("v0.mp4 0\nv1.mp4 0\nv2.mp4 0\n")
+    cls = str(tmp_path / "classes.csv")
+    with open(cls, "w") as f:
+        f.write("id,name\n0,run\n")
+    torch.manual_seed(3)
+    hf = CLIPVisionModelWithProjection(HFConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        projection_dim=16))
+    ckpt = str(tmp_path / "clip.pt")
+    torch.save(hf.state_dict(), ckpt)
+
+    out = str(tmp_path / "shard0.h5")
+    main([
+        "--data-root", root, "--annotation-file", ann, "--class-file", cls,
+        "--clip-weights", ckpt, "--batch-size", "8", "--split", "train",
+        "--float32", "--quantize", "int8", "--verify-fidelity", "3",
+        "--fidelity-threshold", "0.5", "--num-shards", "2",
+        "--shard-index", "0", "--output", out,
+    ])
+    assert os.path.exists(out)
+
+    # a shard with NO readable video fails loudly, naming the situation
+    ann_bad = str(tmp_path / "bad.txt")
+    with open(ann_bad, "w") as f:
+        f.write("missing_a.mp4 0\nmissing_b.mp4 0\n")
+    with pytest.raises(RuntimeError, match="no readable video"):
+        main([
+            "--data-root", root, "--annotation-file", ann_bad,
+            "--class-file", cls, "--clip-weights", ckpt,
+            "--batch-size", "8", "--split", "train", "--float32",
+            "--quantize", "int8", "--verify-fidelity", "3",
+            "--output", str(tmp_path / "never.h5"),
+        ])

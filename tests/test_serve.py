@@ -147,3 +147,47 @@ def test_motion_video_request(predictor, videos, tmp_path):
     )
     direct = predictor.predict(videos[0], motion_video_path=motion, top_k=3)
     assert resp == prediction_record(videos[0], direct)
+
+
+def test_batch_route_partial_motion_dict_falls_back_to_dir(
+    predictor, videos, tmp_path
+):
+    """A partial motion_videos dict must not disable the --motion-videos-dir
+    fallback for the videos it omits — each video resolves like the
+    single-video route (explicit entry wins, then dir match)."""
+    import os
+
+    rng = np.random.default_rng(2)
+    mdir = tmp_path / "motions"
+    mdir.mkdir()
+    explicit = str(tmp_path / "explicit.mp4")
+    write_video(explicit, rng.integers(0, 256, (10, 36, 48, 3), dtype=np.uint8))
+    stem1 = os.path.splitext(os.path.basename(videos[1]))[0]
+    dir_match = str(mdir / f"{stem1}.mp4")
+    write_video(dir_match, rng.integers(0, 256, (8, 36, 48, 3), dtype=np.uint8))
+
+    resp = handle_request(
+        predictor,
+        {"videos": videos, "motion_videos": {videos[0]: explicit}, "top_k": 3},
+        motion_videos_dir=str(mdir),
+    )
+    direct = [
+        predictor.predict(videos[0], motion_video_path=explicit, top_k=3),
+        predictor.predict(videos[1], motion_video_path=dir_match, top_k=3),
+    ]
+    assert resp["results"] == [
+        prediction_record(v, p) for v, p in zip(videos, direct)
+    ]
+
+
+def test_serve_verify_fidelity_requires_probe_video(tmp_path):
+    """The daemon has no request video at startup, so --verify-fidelity
+    without --probe-video is a usage error, not a silent no-op."""
+    from vimoclip_tpu.cli.serve import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--teacher-weights", "w.pt", "--student-checkpoint-dir", "d",
+            "--tfam-config", "c.yaml", "--tfam-torch-checkpoint", "t.pth",
+            "--verify-fidelity", "4",
+        ])

@@ -338,6 +338,33 @@ def test_parallelism_yaml_block(tmp_path):
     assert cfg.training.epochs == 2  # flat keys still parsed
 
 
+def test_parallelism_yaml_block_validation(tmp_path, caplog):
+    """Malformed parallelism blocks fail with a pointed config error, not a
+    raw TypeError; YAML null means 'keep the default'; unknown keys warn
+    (a typo would otherwise silently train unparallelised)."""
+    import logging as _logging
+
+    from vimoclip_tpu.config import load_experiment_config
+
+    def load(block: str):
+        p = tmp_path / "cfg.yaml"
+        p.write_text("training:\n  parallelism:" + block)
+        return load_experiment_config(str(p))
+
+    # blank value = YAML null = the field's documented default
+    cfg = load("\n    pipe: 2\n    microbatches:\n")
+    assert cfg.training.pipeline_parallel == 2
+    assert cfg.training.pipeline_microbatches is None
+
+    with pytest.raises(ValueError, match="parallelism must be a mapping"):
+        load(" 4\n")
+    with pytest.raises(ValueError, match=r"parallelism\.seq must be an int"):
+        load("\n    seq: two\n")
+    with caplog.at_level(_logging.WARNING):
+        load("\n    sequence: 2\n")  # typo for `seq`
+    assert "unknown keys" in caplog.text and "sequence" in caplog.text
+
+
 def _params_np(trainer):
     return jax.tree.map(np.asarray, trainer.state.params)
 

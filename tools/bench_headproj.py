@@ -166,7 +166,6 @@ def main() -> None:
     key = jax.random.key(1, impl="rbg")
 
     results = {}
-    params0 = None
     for head_proj in ("split", "fused", "fused_qkv"):
         model = TFAM(
             config=TFAMModelConfig(
@@ -177,8 +176,6 @@ def main() -> None:
             num_classes=classes, dtype=jnp.bfloat16,
         )
         params = model.init(jax.random.key(0), rgb, motion, mr, mf)["params"]
-        if params0 is None:
-            params0 = params
         opt = tx.init(params)
 
         @jax.jit

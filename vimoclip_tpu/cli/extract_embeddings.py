@@ -89,14 +89,40 @@ def main(argv: list[str] | None = None) -> None:
         import os
 
         from vimoclip_tpu.extraction import load_annotations
-        from vimoclip_tpu.fidelity import check_encoder_fidelity
-
-        first_vid = load_annotations(args.annotation_file)[0][0]
-        check_encoder_fidelity(
-            params, config, os.path.join(args.data_root, first_vid),
-            args.verify_fidelity, args.fidelity_threshold,
-            half_precision=not args.float32, encoder_name="teacher ViT",
+        from vimoclip_tpu.fidelity import (
+            check_encoder_fidelity,
+            sample_video_frames,
         )
+
+        # probe THIS shard's corpus (the global first video may belong to
+        # another job), and tolerate unreadable files the way extraction
+        # itself does (warn + skip, extraction.py:524-527) — only a real
+        # below-threshold fidelity result aborts
+        annotations = load_annotations(args.annotation_file)
+        if args.num_shards > 1:
+            annotations = annotations[args.shard_index::args.num_shards]
+        for vid, _ in annotations:
+            probe_path = os.path.join(args.data_root, vid)
+            try:
+                frames = sample_video_frames(probe_path, args.verify_fidelity)
+            except Exception as e:  # noqa: BLE001 — decode fault tolerance
+                logging.warning(
+                    "fidelity probe: cannot read %s (%s); trying the next "
+                    "annotated video", probe_path, e,
+                )
+                continue
+            check_encoder_fidelity(
+                params, config, probe_path,
+                args.verify_fidelity, args.fidelity_threshold,
+                half_precision=not args.float32,
+                encoder_name="teacher ViT", frames=frames,
+            )
+            break
+        else:
+            raise RuntimeError(
+                "--verify-fidelity: no readable video in this shard's "
+                "annotation list to probe"
+            )
     mesh = None
     if args.data_parallel > 1:
         from vimoclip_tpu.parallel import MeshConfig, create_mesh

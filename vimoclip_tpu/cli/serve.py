@@ -60,10 +60,14 @@ def handle_request(predictor, req: dict, default_top_k: int = 5,
     max_frames = None if max_frames is None else int(max_frames)
     if "videos" in req:
         videos = list(req["videos"])
+        explicit = req.get("motion_videos")
+        explicit = explicit if isinstance(explicit, dict) else {}
+        # per-video resolution mirrors the single-video route: an explicit
+        # entry wins, otherwise the --motion-videos-dir filename match —
+        # a partial dict must not silently drop the dir fallback for the
+        # videos it omits
         motions = [
-            req.get("motion_videos", {}).get(v)
-            if isinstance(req.get("motion_videos"), dict)
-            else find_motion_match(motion_videos_dir, v)
+            explicit.get(v) or find_motion_match(motion_videos_dir, v)
             for v in videos
         ]
         if any(m is not None for m in motions):
@@ -173,11 +177,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--port", type=int, default=None,
                    help="serve HTTP on this port instead of stdin/stdout")
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--probe-video", default=None,
+                   help="video the --verify-fidelity probe samples at "
+                        "startup (a daemon has no request video yet, so "
+                        "the guard rail needs one explicitly; the daemon "
+                        "refuses to start below --fidelity-threshold)")
     args = p.parse_args(argv)
     validate_model_args(p, args)
+    if args.verify_fidelity and not args.probe_video:
+        p.error("--verify-fidelity needs --probe-video PATH in the daemon "
+                "(no request video exists at startup to sample from)")
 
     setup_logging()
-    predictor = build_predictor(args)
+    predictor = build_predictor(args, probe_video=args.probe_video)
     logging.info("models resident; serving")
     if args.port is not None:
         server = make_http_server(

@@ -16,6 +16,7 @@ honored; the default (1e-4) matches the reference's effective behavior.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from datetime import datetime
 from typing import Any
@@ -193,9 +194,29 @@ def load_experiment_config(path: str) -> ExperimentConfig:
     # mesh geometry block (round 4); flat `data_parallel:`-style keys keep
     # working, the nested block wins when both are present.
     par = training_section.pop("parallelism", None) or {}
+    if not isinstance(par, dict):
+        raise ValueError(
+            f"{path}: training.parallelism must be a mapping with keys "
+            f"{sorted(_PARALLELISM_KEYS)}, got {par!r}"
+        )
     for key, field in _PARALLELISM_KEYS.items():
-        if key in par:
-            training_section[field] = int(par[key])
+        value = par.get(key)
+        if value is None:  # absent or YAML null — keep the field's default
+            continue
+        try:
+            training_section[field] = int(value)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{path}: training.parallelism.{key} must be an integer, "
+                f"got {value!r}"
+            ) from None
+    unknown = set(par) - set(_PARALLELISM_KEYS)
+    if unknown:  # a typo here silently trains unparallelised — unlike the
+        # unknown-SECTION tolerance (QUIRKS #7), warn loudly
+        logging.warning(
+            "training.parallelism: ignoring unknown keys %s (known: %s)",
+            sorted(unknown), sorted(_PARALLELISM_KEYS),
+        )
     training = _build(TrainingConfig, training_section)
     return ExperimentConfig(
         training=training,

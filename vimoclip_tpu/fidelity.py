@@ -112,9 +112,15 @@ def check_encoder_fidelity(
     *,
     half_precision: bool = True,
     encoder_name: str = "encoder",
+    frames: np.ndarray | None = None,
 ) -> dict:
-    """CLI entry: sample, probe, log, and ABORT below ``threshold``."""
-    frames = sample_video_frames(probe_video, n_frames)
+    """CLI entry: sample, probe, log, and ABORT below ``threshold``.
+
+    ``frames`` skips the sampling step (callers that decode themselves to
+    separate decode faults from probe faults — cli/extract_embeddings.py).
+    """
+    if frames is None:
+        frames = sample_video_frames(probe_video, n_frames)
     report = encoder_fidelity_probe(
         params, approx_config, frames, half_precision=half_precision
     )
