@@ -364,6 +364,83 @@ model:
     q_probs = [p["probability"] for p in q_served[0]["predictions"]]
     assert len(q_probs) == C and all(0.0 <= p <= 1.0 for p in q_probs)
 
+    # --- beyond-reference leg: the SAME artifacts behind the vimo-serve
+    # daemon (real subprocess, real HTTP): --warmup pre-compiles on the
+    # probe video, concurrent POSTs coalesce through dynamic batching
+    # (/stats proves one pooled device call), and each response matches
+    # the one-shot vimo-predict output for that video ---
+    import socket
+    import subprocess
+    import sys as _sys
+    import threading
+    import time as _time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    import os as _os
+
+    denv = dict(_os.environ,
+                VIMO_JAX_PLATFORMS="cpu",  # config-level pin (jax_setup)
+                XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    daemon = subprocess.Popen([
+        _sys.executable, "-m", "vimoclip_tpu.cli.serve",
+        "--teacher-weights", clip_ckpt,
+        "--student-checkpoint-dir", ckpt_dir,
+        "--student-clip-weights", clip_ckpt,
+        "--tfam-config", str(cfg),
+        "--tfam-checkpoint-dir", tfam_ckpt_dir,
+        "--frame-batch", "8", "--float32",
+        "--port", str(port), "--max-batch", "4", "--batch-wait-ms", "5000",
+        "--warmup", "--probe-video", str(root / names[0]),
+    ], env=denv)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = _time.monotonic() + 300
+        while True:  # wait for weights + warmup compile
+            assert daemon.poll() is None, "vimo-serve died during startup"
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=5):
+                    break
+            except OSError:
+                assert _time.monotonic() < deadline, "daemon never came up"
+                _time.sleep(1.0)
+
+        responses = [None, None]
+
+        def post(i, video):
+            body = json.dumps({"video": video, "top_k": C}).encode()
+            req = urllib.request.Request(
+                f"{base}/predict", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                responses[i] = json.load(r)
+
+        posters = [
+            threading.Thread(target=post, args=(i, str(root / names[i])))
+            for i in range(2)
+        ]
+        for t in posters:
+            t.start()
+        for t in posters:
+            t.join(timeout=300)
+        assert all(r is not None for r in responses)
+        # request 0 is the same video vimo-predict just served: identical
+        # record (the daemon route changes nothing about the numerics)
+        assert responses[0] == served[0]
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["requests"] == 2
+        # the 5s batch window makes coalescing deterministic: both
+        # in-flight requests shared ONE pooled device call
+        assert stats["predictor_calls"] == 1
+        assert stats["max_coalesced"] == 2
+    finally:
+        daemon.terminate()
+        daemon.wait(timeout=30)
+
 
 @pytest.mark.slow
 def test_vimo_pipeline_orchestrator(tmp_path, monkeypatch, mesh8):

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from vimoclip_tpu.cli.serve import (
+    DynamicBatcher,
     handle_request,
     make_http_server,
     prediction_record,
@@ -178,6 +179,205 @@ def test_batch_route_partial_motion_dict_falls_back_to_dir(
     assert resp["results"] == [
         prediction_record(v, p) for v, p in zip(videos, direct)
     ]
+
+
+class _RecordingPredictor:
+    """Pass-through proxy that counts device-side calls (coalescing proof)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.batch_calls: list[list[str]] = []
+        self.serial_calls: list[str] = []
+
+    def predict_batch(self, videos, top_k=5, max_frames=None):
+        self.batch_calls.append(list(videos))
+        return self.inner.predict_batch(videos, top_k=top_k,
+                                        max_frames=max_frames)
+
+    def predict(self, video, motion_video_path=None, top_k=5,
+                max_frames=None):
+        self.serial_calls.append(video)
+        return self.inner.predict(video, motion_video_path=motion_video_path,
+                                  top_k=top_k, max_frames=max_frames)
+
+
+def _submit_concurrently(batcher, requests):
+    """Run predict_many for each request on its own thread (the HTTP
+    handler-thread shape); returns results/errors in request order."""
+    out = [None] * len(requests)
+    barrier = threading.Barrier(len(requests))
+
+    def run(i, req):
+        barrier.wait()
+        try:
+            out[i] = ("ok", batcher.predict_many(*req))
+        except Exception as e:  # noqa: BLE001 — asserted by callers
+            out[i] = ("err", e)
+
+    threads = [threading.Thread(target=run, args=(i, r))
+               for i, r in enumerate(requests)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(o is not None for o in out), "a submitter thread hung"
+    return out
+
+
+def test_dynamic_batcher_coalesces_concurrent_requests(predictor, videos):
+    """Two concurrent single-video requests share ONE pooled device call,
+    and each response is bit-identical to a solo predict — including
+    per-request top_k (sliced from the group-max pooled call)."""
+    rec = _RecordingPredictor(predictor)
+    batcher = DynamicBatcher(rec, max_batch=2, max_wait_ms=5000)
+    try:
+        out = _submit_concurrently(batcher, [
+            ([videos[0]], [None], 3, None),
+            ([videos[1]], [None], 2, None),
+        ])
+    finally:
+        batcher.shutdown()
+    assert [s for s, _ in out] == ["ok", "ok"]
+    # one pooled call served both requests
+    assert len(rec.batch_calls) == 1 and len(rec.serial_calls) == 0
+    assert sorted(rec.batch_calls[0]) == sorted(videos)
+    stats = batcher.stats()
+    assert stats["requests"] == 2
+    assert stats["predictor_calls"] == 1
+    assert stats["max_coalesced"] == 2
+    # numerics + per-request top_k match the solo path exactly
+    for (state, preds), video, k in zip(out, videos, (3, 2)):
+        solo = predictor.predict(video, top_k=k)
+        assert prediction_record(video, preds[0]) == \
+            prediction_record(video, solo)
+        assert len(preds[0].top_classes) == k
+
+
+def test_dynamic_batcher_isolates_bad_video(predictor, videos):
+    """A pooled group containing an unreadable path retries serially: the
+    bad REQUEST fails, its co-batched neighbour from another request
+    succeeds with solo-identical output."""
+    rec = _RecordingPredictor(predictor)
+    batcher = DynamicBatcher(rec, max_batch=2, max_wait_ms=5000)
+    try:
+        out = _submit_concurrently(batcher, [
+            ([videos[0]], [None], 3, None),
+            (["/nonexistent.mp4"], [None], 3, None),
+        ])
+    finally:
+        batcher.shutdown()
+    states = {s for s, _ in out}
+    assert states == {"ok", "err"}
+    good = next(v for s, v in out if s == "ok")
+    assert prediction_record(videos[0], good[0]) == prediction_record(
+        videos[0], predictor.predict(videos[0], top_k=3)
+    )
+    # the pooled attempt failed and fell back to per-video serial calls
+    assert len(rec.serial_calls) == 2
+
+
+def test_dynamic_batcher_motion_videos_run_serially(predictor, videos,
+                                                    tmp_path):
+    """Precomputed-motion videos can't share the pooled frame-diff path —
+    the batcher must route them through predictor.predict and still match
+    the direct call."""
+    rng = np.random.default_rng(3)
+    motion = str(tmp_path / "m.mp4")
+    write_video(motion, rng.integers(0, 256, (10, 36, 48, 3), dtype=np.uint8))
+    rec = _RecordingPredictor(predictor)
+    batcher = DynamicBatcher(rec, max_batch=4, max_wait_ms=5000)
+    try:
+        out = _submit_concurrently(batcher, [
+            ([videos[0]], [motion], 3, None),
+            ([videos[1]], [None], 3, None),
+        ])
+    finally:
+        batcher.shutdown()
+    assert [s for s, _ in out] == ["ok", "ok"]
+    # the motion video went serial; its neighbour, now a group of one,
+    # degrades to a serial call as well (no pooled call of size 1)
+    assert sorted(rec.serial_calls) == sorted(videos)
+    assert rec.batch_calls == []
+    direct = predictor.predict(videos[0], motion_video_path=motion, top_k=3)
+    got = next(v for s, v in out if v[0].video_id == videos[0])
+    assert prediction_record(videos[0], got[0]) == prediction_record(
+        videos[0], direct
+    )
+
+
+def test_http_server_dynamic_batching_and_stats(predictor, videos):
+    """The HTTP frontend with a batcher: concurrent POSTs coalesce (stats
+    prove it), responses match the lock-serialised server's, and /stats
+    answers on both configurations."""
+    rec = _RecordingPredictor(predictor)
+    batcher = DynamicBatcher(rec, max_batch=2, max_wait_ms=5000)
+    server = make_http_server(rec, port=0, batcher=batcher)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = [None, None]
+
+        def post(i, video, k):
+            body = json.dumps({"video": video, "top_k": k}).encode()
+            req = urllib.request.Request(
+                f"{base}/predict", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.load(r)
+
+        threads = [
+            threading.Thread(target=post, args=(i, v, k))
+            for i, (v, k) in enumerate(zip(videos, (3, 2)))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for res, video, k in zip(results, videos, (3, 2)):
+            assert res == prediction_record(
+                video, predictor.predict(video, top_k=k)
+            )
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["requests"] == 2
+        # both arrived within the 5s window -> exactly one pooled call
+        assert stats["predictor_calls"] == 1 and stats["max_coalesced"] == 2
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=10)
+        batcher.shutdown()
+
+    # no batcher -> /stats reports the feature off
+    server = make_http_server(predictor, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            assert json.load(r) == {"dynamic_batching": False}
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=10)
+
+
+def test_serve_warmup_requires_probe_video():
+    """--warmup compiles on a representative video; without one it's a
+    usage error."""
+    from vimoclip_tpu.cli.serve import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--teacher-weights", "w.pt", "--student-checkpoint-dir", "d",
+            "--tfam-config", "c.yaml", "--tfam-torch-checkpoint", "t.pth",
+            "--warmup",
+        ])
 
 
 def test_serve_verify_fidelity_requires_probe_video(tmp_path):

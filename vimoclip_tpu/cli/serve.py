@@ -20,9 +20,21 @@ Two frontends over the same predictor (cli/predict.py's ``build_predictor``
   answers ``{"results": [...]}`` — multi-video requests share pooled
   embedding batches and ONE fusion call (serving.predict_batch).
   ``GET /healthz`` answers 200 once the models are resident (readiness
-  probe). Requests are serialised around the single device; the server
+  probe); ``GET /stats`` reports request/coalescing counters. The server
   binds 127.0.0.1 by default (put a real ingress in front for anything
   else).
+
+Under HTTP, CONCURRENT requests coalesce: a single worker thread drains a
+queue and feeds videos from different in-flight requests through ONE pooled
+``predict_batch`` call (``DynamicBatcher`` — cross-request dynamic
+batching, the standard production-serving shape). On-chip the pooled path
+runs 1.56x the serial loop (bench.py serving section), so under load the
+daemon's throughput approaches the pooled rate instead of serialising
+device access request-by-request. Masked (batch-invariant) pooling makes
+coalesced == solo bit-identical; ``--quirk-batch-pooling`` restores the
+reference's batch-max pooling, whose output DEPENDS on co-batched clips, so
+that flag disables cross-request coalescing (within-request batching
+keeps the quirk semantics the library documents).
 
 Responses use vimo-predict's record shape, so downstream consumers of its
 ``--output`` JSON parse daemon responses unchanged.
@@ -31,11 +43,196 @@ Responses use vimo-predict's record shape, so downstream consumers of its
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
+import queue
 import threading
+import time
 
 from vimoclip_tpu.utils.logging import setup_logging
+
+
+@dataclasses.dataclass
+class _PendingVideo:
+    """One video awaiting the batcher worker (one request may enqueue
+    several)."""
+
+    video: str
+    motion: str | None
+    top_k: int
+    max_frames: int | None
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    result: object | None = None
+    error: Exception | None = None
+
+
+_SHUTDOWN = object()
+
+
+class DynamicBatcher:
+    """Cross-request dynamic batching around a single-device predictor.
+
+    Handler threads enqueue videos and block; ONE worker thread drains the
+    queue — waiting up to ``max_wait_ms`` after the first arrival to let
+    concurrent requests pile on, capped at ``max_batch`` videos — and runs
+    the whole group through ``predictor.predict_batch`` (pooled embedding
+    batches + one fusion call, measured 1.56x the serial per-video loop on
+    the chip, bench.py serving section). The worker is the only predictor
+    user, so no device lock is needed.
+
+    Semantics are preserved exactly:
+    - per-video ``top_k`` differs within a group: the pooled call asks for
+      the group max and each response is sliced back (``top_classes`` is
+      probability-ordered, so a prefix IS the smaller top-k);
+    - videos with a precomputed motion file run serially inside the worker
+      (the pooled path only covers the on-device frame-diff modality,
+      mirroring handle_request's serial fallback);
+    - ``max_frames`` changes the decoded input, so only videos with equal
+      ``max_frames`` share a pooled call;
+    - requires a batch-invariant predictor (serving.py masked pooling —
+      coalesced output == solo output bit for bit). With
+      --quirk-batch-pooling the daemon never constructs a batcher.
+
+    Fault tolerance: if a pooled call raises (one unreadable path must not
+    fail its co-batched neighbours from OTHER requests), the group retries
+    serially and only the faulty videos carry errors.
+    """
+
+    def __init__(self, predictor, max_batch: int = 8,
+                 max_wait_ms: float = 10.0):
+        self.predictor = predictor
+        self.max_batch = max(1, int(max_batch))
+        self.max_wait = max(0.0, float(max_wait_ms)) / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0,          # videos submitted
+            "predictor_calls": 0,   # device-side calls (pooled or serial)
+            "pooled_videos": 0,     # videos served through pooled calls
+            "max_coalesced": 0,     # largest pooled group so far
+        }
+        self._worker = threading.Thread(
+            target=self._run, name="vimo-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- handler-thread side ------------------------------------------------
+
+    def predict_many(self, videos: list[str], motions: list[str | None],
+                     top_k: int, max_frames: int | None) -> list:
+        """Enqueue one request's videos, wait, return predictions in order.
+
+        Raises the first per-video error (a request with a bad path fails
+        whole, exactly like the direct predict_batch route — but co-batched
+        OTHER requests are unaffected)."""
+        items = [
+            _PendingVideo(v, m, top_k, max_frames)
+            for v, m in zip(videos, motions)
+        ]
+        for item in items:
+            self._q.put(item)
+        for item in items:
+            item.done.wait()
+        for item in items:
+            if item.error is not None:
+                raise item.error
+        return [item.result for item in items]
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return dict(self._stats)
+
+    def shutdown(self) -> None:
+        self._q.put(_SHUTDOWN)
+        self._worker.join(timeout=30)
+
+    # -- worker side ---------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is _SHUTDOWN:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            stop = False
+            while len(batch) < self.max_batch:
+                wait = deadline - time.monotonic()
+                if wait <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=wait)
+                except queue.Empty:
+                    break
+                if item is _SHUTDOWN:
+                    stop = True
+                    break
+                batch.append(item)
+            try:
+                self._process(batch)
+            except Exception:  # noqa: BLE001 — the worker must never die
+                logging.exception("batcher worker: unexpected group failure")
+                for item in batch:
+                    if not item.done.is_set():
+                        item.error = item.error or RuntimeError(
+                            "batcher worker failed; see daemon log"
+                        )
+                        item.done.set()
+            if stop:
+                return
+
+    def _serial(self, item: _PendingVideo) -> None:
+        try:
+            item.result = self.predictor.predict(
+                item.video, motion_video_path=item.motion,
+                top_k=item.top_k, max_frames=item.max_frames,
+            )
+        except Exception as e:  # noqa: BLE001 — per-video fault tolerance
+            item.error = e
+        finally:
+            with self._stats_lock:
+                self._stats["predictor_calls"] += 1
+            item.done.set()
+
+    def _process(self, batch: list[_PendingVideo]) -> None:
+        with self._stats_lock:
+            self._stats["requests"] += len(batch)
+        pooled: dict[int | None, list[_PendingVideo]] = {}
+        for item in batch:
+            if item.motion is not None:
+                self._serial(item)
+            else:
+                pooled.setdefault(item.max_frames, []).append(item)
+        for max_frames, items in pooled.items():
+            if len(items) == 1:
+                self._serial(items[0])
+                continue
+            group_k = max(i.top_k for i in items)
+            try:
+                preds = self.predictor.predict_batch(
+                    [i.video for i in items], top_k=group_k,
+                    max_frames=max_frames,
+                )
+            except Exception:  # noqa: BLE001 — isolate the faulty video
+                logging.exception(
+                    "pooled call failed; retrying %d videos serially",
+                    len(items),
+                )
+                for item in items:
+                    self._serial(item)
+                continue
+            with self._stats_lock:
+                self._stats["predictor_calls"] += 1
+                self._stats["pooled_videos"] += len(items)
+                self._stats["max_coalesced"] = max(
+                    self._stats["max_coalesced"], len(items)
+                )
+            for item, pred in zip(items, preds):
+                item.result = dataclasses.replace(
+                    pred, top_classes=pred.top_classes[: item.top_k]
+                )
+                item.done.set()
 
 
 def prediction_record(video: str, pred) -> dict:
@@ -51,8 +248,14 @@ def prediction_record(video: str, pred) -> dict:
 
 
 def handle_request(predictor, req: dict, default_top_k: int = 5,
-                   motion_videos_dir: str | None = None) -> dict:
-    """One request -> one response dict (shared by both frontends)."""
+                   motion_videos_dir: str | None = None,
+                   batcher: DynamicBatcher | None = None) -> dict:
+    """One request -> one response dict (shared by both frontends).
+
+    With ``batcher`` set (the HTTP frontend under dynamic batching), every
+    video is enqueued instead of hitting the predictor directly, so videos
+    from CONCURRENT requests share pooled device calls. The response is
+    identical either way (batch-invariant pooling; tests/test_serve.py)."""
     from vimoclip_tpu.cli.predict import find_motion_match
 
     top_k = int(req.get("top_k", default_top_k))
@@ -70,7 +273,9 @@ def handle_request(predictor, req: dict, default_top_k: int = 5,
             explicit.get(v) or find_motion_match(motion_videos_dir, v)
             for v in videos
         ]
-        if any(m is not None for m in motions):
+        if batcher is not None:
+            preds = batcher.predict_many(videos, motions, top_k, max_frames)
+        elif any(m is not None for m in motions):
             # per-video motion files: the pooled path only covers the
             # on-device frame-diff modality, so fall back to serial
             preds = [
@@ -87,8 +292,11 @@ def handle_request(predictor, req: dict, default_top_k: int = 5,
     motion = req.get("motion_video") or find_motion_match(
         motion_videos_dir, video
     )
-    pred = predictor.predict(video, motion_video_path=motion, top_k=top_k,
-                             max_frames=max_frames)
+    if batcher is not None:
+        pred = batcher.predict_many([video], [motion], top_k, max_frames)[0]
+    else:
+        pred = predictor.predict(video, motion_video_path=motion,
+                                 top_k=top_k, max_frames=max_frames)
     return prediction_record(video, pred)
 
 
@@ -118,9 +326,16 @@ def serve_stdin(predictor, in_stream, out_stream, default_top_k: int = 5,
 
 def make_http_server(predictor, host: str = "127.0.0.1", port: int = 0,
                      default_top_k: int = 5,
-                     motion_videos_dir: str | None = None):
+                     motion_videos_dir: str | None = None,
+                     batcher: DynamicBatcher | None = None):
     """Build (without starting) the threaded HTTP server. Port 0 picks a
-    free port (tests); ``server.server_address[1]`` has the real one."""
+    free port (tests); ``server.server_address[1]`` has the real one.
+
+    With ``batcher``, the batcher's worker thread is the sole predictor
+    user — handler threads only enqueue and wait, so concurrent requests
+    coalesce instead of serialising on a lock. Without one, a process-wide
+    lock serialises device access (the pre-round-4 behavior, kept for
+    --quirk-batch-pooling where coalescing would change outputs)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()  # one device — serialise predictor access
@@ -137,6 +352,9 @@ def make_http_server(predictor, host: str = "127.0.0.1", port: int = 0,
         def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._reply(200, batcher.stats() if batcher is not None
+                            else {"dynamic_batching": False})
             else:
                 self._reply(404, {"error": f"no route {self.path}"})
 
@@ -147,10 +365,16 @@ def make_http_server(predictor, host: str = "127.0.0.1", port: int = 0,
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                with lock:
+                if batcher is not None:
                     resp = handle_request(
-                        predictor, req, default_top_k, motion_videos_dir
+                        predictor, req, default_top_k, motion_videos_dir,
+                        batcher=batcher,
                     )
+                else:
+                    with lock:
+                        resp = handle_request(
+                            predictor, req, default_top_k, motion_videos_dir
+                        )
                 self._reply(200, resp)
             except Exception as e:  # noqa: BLE001 — fault-tolerant endpoint
                 logging.exception("request failed")
@@ -182,22 +406,61 @@ def main(argv: list[str] | None = None) -> None:
                         "startup (a daemon has no request video yet, so "
                         "the guard rail needs one explicitly; the daemon "
                         "refuses to start below --fidelity-threshold)")
+    p.add_argument("--warmup", action="store_true",
+                   help="run one throwaway predict on --probe-video before "
+                        "accepting traffic: every device program along the "
+                        "cascade compiles at startup instead of on the "
+                        "first request (worth minutes on remote-compile "
+                        "rigs; a request in a NEW length bucket still "
+                        "compiles its small fusion program)")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="dynamic batching: max videos coalesced into one "
+                        "pooled device call (HTTP frontend; default 8)")
+    p.add_argument("--batch-wait-ms", type=float, default=10.0,
+                   help="dynamic batching: how long the worker waits after "
+                        "the first queued video for concurrent requests to "
+                        "pile on (default 10 ms; 0 disables coalescing "
+                        "across requests without disabling the queue)")
     args = p.parse_args(argv)
     validate_model_args(p, args)
     if args.verify_fidelity and not args.probe_video:
         p.error("--verify-fidelity needs --probe-video PATH in the daemon "
                 "(no request video exists at startup to sample from)")
+    if args.warmup and not args.probe_video:
+        p.error("--warmup needs --probe-video PATH (a representative video "
+                "to compile the cascade on)")
 
     setup_logging()
     predictor = build_predictor(args, probe_video=args.probe_video)
+    if args.warmup:
+        t0 = time.monotonic()
+        predictor.predict(args.probe_video, top_k=1)
+        logging.info("warmup predict done in %.1fs (programs compiled)",
+                     time.monotonic() - t0)
     logging.info("models resident; serving")
     if args.port is not None:
+        batcher = None
+        if not args.quirk_batch_pooling:
+            batcher = DynamicBatcher(predictor, args.max_batch,
+                                     args.batch_wait_ms)
+        else:
+            # batch-max pooling makes outputs depend on co-batched clips —
+            # coalescing strangers' requests would be nondeterministic
+            logging.info("dynamic batching disabled under "
+                         "--quirk-batch-pooling (outputs would depend on "
+                         "co-batched requests)")
         server = make_http_server(
             predictor, args.host, args.port, args.top_k,
-            args.motion_videos_dir,
+            args.motion_videos_dir, batcher=batcher,
         )
-        logging.info("listening on %s:%d", *server.server_address)
-        server.serve_forever()
+        logging.info("listening on %s:%d (dynamic batching: %s)",
+                     *server.server_address,
+                     "on" if batcher else "off")
+        try:
+            server.serve_forever()
+        finally:
+            if batcher is not None:
+                batcher.shutdown()
     else:
         import sys
 

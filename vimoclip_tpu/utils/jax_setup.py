@@ -12,6 +12,12 @@ Environment knobs:
 - ``VIMO_JAX_CACHE_DIR``: cache location (default
   ``~/.cache/vimoclip_tpu/jax``; falls back to a tmp dir if unwritable).
 - ``VIMO_JAX_CACHE=0``: disable entirely.
+- ``VIMO_JAX_PLATFORMS``: pin the JAX platform list (e.g. ``cpu``) at the
+  CONFIG level for any CLI run as a subprocess. Needed because some images
+  pin ``jax_platforms`` in the jax config itself, where the plain
+  ``JAX_PLATFORMS`` env var is silently ignored — a CPU smoke run of a CLI
+  on a TPU-attached host (or a test driving a daemon subprocess) has no
+  other hook.
 """
 
 from __future__ import annotations
@@ -20,9 +26,23 @@ import os
 import tempfile
 
 
+def apply_platform_env() -> None:
+    """Honor ``VIMO_JAX_PLATFORMS`` (no-op when unset)."""
+    platforms = os.environ.get("VIMO_JAX_PLATFORMS")
+    if not platforms:
+        return
+    os.environ["JAX_PLATFORMS"] = platforms
+    import jax
+
+    jax.config.update("jax_platforms", platforms)
+
+
 def enable_compilation_cache() -> str | None:
     """Point JAX at a persistent compilation cache; returns the dir used
-    (None when disabled or unsupported by the jax version)."""
+    (None when disabled or unsupported by the jax version). Also applies
+    the ``VIMO_JAX_PLATFORMS`` pin — every CLI routes through here before
+    touching a device."""
+    apply_platform_env()
     if os.environ.get("VIMO_JAX_CACHE", "1") == "0":
         return None
     cache_dir = os.environ.get("VIMO_JAX_CACHE_DIR") or os.path.join(
