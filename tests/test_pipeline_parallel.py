@@ -258,3 +258,137 @@ def test_tfam_pipeline_rejects_non_cross_modes(pipe_mesh):
     rgb, mot, mr, mf = _tfam_inputs(jax.random.key(5))
     with pytest.raises(ValueError, match="cross-attention"):
         tfam_cross_pipeline_logits({}, cfg, pipe_mesh, rgb, mot, mr, mf)
+
+
+# ---------------------------------------------------------------------------
+# seq x pipe composition (round 4): ring attention INSIDE the GPipe stages
+# — depth and time sharded on one mesh (attention_impl="ring_inner",
+# ops/attention.py; seq_axis threading, parallel/pipelining.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pipe_seq_mesh(devices):
+    """8 devices as data=2 x pipe=2 x seq=2 (model axis size 1)."""
+    return create_mesh(
+        MeshConfig(data_parallel=2, pipeline_parallel=2, seq_parallel=2)
+    )
+
+
+def _tfam_inputs_bucketed(key, b=8, t=12, tm=10):
+    """Bucket-like shapes: BOTH time axes divisible by the seq axis size
+    (what data.pipeline's length buckets produce)."""
+    kr, km, kl = jax.random.split(key, 3)
+    rgb = jax.random.normal(kr, (b, t, CFG.d_model))
+    mot = jax.random.normal(km, (b, tm, CFG.d_model))
+    lengths = jax.random.randint(kl, (b,), 2, t + 1)
+    mask_rgb = jnp.arange(t)[None, :] < lengths[:, None]
+    mask_flow = jnp.arange(tm)[None, :] < jnp.minimum(lengths - 1, tm)[:, None]
+    return rgb, mot, mask_rgb, mask_flow
+
+
+def test_tfam_pipe_seq_logits_match_apply(pipe_seq_mesh):
+    """Deterministic forward with time sharded over `seq` INSIDE the pipe
+    stages == plain TFAM.apply (ring attention is exact; CPU full-precision
+    matmuls make it tight)."""
+    model = TFAM(config=CFG, num_classes=C)
+    rgb, mot, mr, mf = _tfam_inputs_bucketed(jax.random.key(6))
+    params = model.init(jax.random.key(7), rgb, mot, mr, mf)["params"]
+    expect = model.apply({"params": params}, rgb, mot, mr, mf,
+                         deterministic=True)
+    got = tfam_cross_pipeline_logits(
+        params, CFG, pipe_seq_mesh, rgb, mot, mr, mf,
+        n_micro=2, batch_axis="data", seq_axis="seq",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+
+def test_tfam_pipe_seq_train_step_grads_match(pipe_seq_mesh):
+    """Grads of the seq-in-pipe step (BCE loss, all params) match the plain
+    unsharded step — the GPipe reverse schedule differentiates THROUGH the
+    inner ring's ppermute loop."""
+    from vimoclip_tpu import losses
+
+    model = TFAM(config=CFG, num_classes=C)
+    rgb, mot, mr, mf = _tfam_inputs_bucketed(jax.random.key(8))
+    params = model.init(jax.random.key(9), rgb, mot, mr, mf)["params"]
+    labels = (jax.random.uniform(jax.random.key(10), (rgb.shape[0], C)) < 0.3
+              ).astype(jnp.float32)
+
+    def piped_loss(params):
+        logits = tfam_cross_pipeline_logits(
+            params, CFG, pipe_seq_mesh, rgb, mot, mr, mf,
+            n_micro=2, batch_axis="data", seq_axis="seq",
+        )
+        return losses.bce_with_logits(logits, labels)
+
+    def plain_loss(params):
+        logits = model.apply({"params": params}, rgb, mot, mr, mf,
+                             deterministic=True)
+        return losses.bce_with_logits(logits, labels)
+
+    lp, gp = jax.jit(jax.value_and_grad(piped_loss))(params)
+    ls, gs = jax.value_and_grad(plain_loss)(params)
+    assert float(lp) == pytest.approx(float(ls), rel=1e-6)
+    flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(gs)[0])
+    assert len(flat_p) == len(flat_s)
+    for path, leaf in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_s[path]), atol=2e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_tfam_pipe_seq_dropout_trains(pipe_seq_mesh):
+    """The reference recipe's dropout (0.1 attention + mlp) runs with BOTH
+    axes active: deterministic per rng key, different across keys, finite
+    grads, and dropout-off recovers the deterministic path bit-for-bit."""
+    from vimoclip_tpu import losses
+
+    model = TFAM(config=CFG, num_classes=C)
+    rgb, mot, mr, mf = _tfam_inputs_bucketed(jax.random.key(11))
+    params = model.init(jax.random.key(12), rgb, mot, mr, mf)["params"]
+    labels = (jax.random.uniform(jax.random.key(13), (rgb.shape[0], C)) < 0.3
+              ).astype(jnp.float32)
+
+    def loss(params, rng):
+        logits = tfam_cross_pipeline_logits(
+            params, CFG, pipe_seq_mesh, rgb, mot, mr, mf,
+            n_micro=2, batch_axis="data", seq_axis="seq",
+            dropout_rng=rng,
+        )
+        return losses.bce_with_logits(logits, labels)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    l1, g1 = vg(params, jax.random.key(100))
+    l1b, _ = vg(params, jax.random.key(100))
+    l2, _ = vg(params, jax.random.key(101))
+    assert float(l1) == float(l1b)          # same key -> same bits
+    assert float(l1) != float(l2)           # different key -> different bits
+    assert all(np.all(np.isfinite(leaf)) for leaf in jax.tree.leaves(
+        jax.tree.map(np.asarray, g1)))
+
+    cfg0 = TFAMModelConfig(**{**CFG.__dict__, "dropout": 0.0,
+                              "mlp_dropout": 0.0})
+    det = tfam_cross_pipeline_logits(
+        params, cfg0, pipe_seq_mesh, rgb, mot, mr, mf,
+        n_micro=2, batch_axis="data", seq_axis="seq",
+    )
+    zero_rate = tfam_cross_pipeline_logits(
+        params, cfg0, pipe_seq_mesh, rgb, mot, mr, mf,
+        n_micro=2, batch_axis="data", seq_axis="seq",
+        dropout_rng=jax.random.key(102),
+    )
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(zero_rate))
+
+
+def test_tfam_pipe_seq_rejects_indivisible_time(pipe_seq_mesh):
+    model = TFAM(config=CFG, num_classes=C)
+    rgb, mot, mr, mf = _tfam_inputs_bucketed(jax.random.key(14), t=12, tm=9)
+    params = model.init(jax.random.key(15), rgb, mot, mr, mf)["params"]
+    with pytest.raises(ValueError, match="must divide"):
+        tfam_cross_pipeline_logits(
+            params, CFG, pipe_seq_mesh, rgb, mot, mr, mf,
+            n_micro=2, batch_axis="data", seq_axis="seq",
+        )

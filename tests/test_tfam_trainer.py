@@ -483,16 +483,61 @@ def test_trainer_pipe_parallel_trains_reference_recipe(config, tmp_path, devices
     assert map_after > map_before + 0.1, (map_before, map_after)
 
 
-def test_parallelism_validation_errors(config, tmp_path):
+def test_trainer_seq_pipe_parallel_matches_dense_when_deterministic(
+    config, tmp_path, devices
+):
+    """Dropout off: `training.parallelism: {seq: 2, pipe: 2}` — ring
+    attention INSIDE the GPipe stages (attention_impl="ring_inner") —
+    computes the same gradients as the dense path (round 4: the two
+    scale-out axes compose on one mesh)."""
     import copy
     import dataclasses
 
-    bad = copy.deepcopy(config)
-    bad.training.seq_parallel = 2
-    bad.training.pipeline_parallel = 2
-    with pytest.raises(ValueError, match="seq and pipe"):
-        TFAMTrainer(bad, log_dir=str(tmp_path / "l1"),
-                    checkpoint_dir=str(tmp_path / "c1"))
+    config.model = dataclasses.replace(config.model, num_layers=2)
+    cfg_sp = copy.deepcopy(config)
+    cfg_sp.training.seq_parallel = 2
+    cfg_sp.training.pipeline_parallel = 2
+    t_sp = TFAMTrainer(cfg_sp, log_dir=str(tmp_path / "lsp"),
+                       checkpoint_dir=str(tmp_path / "csp"))
+    assert dict(t_sp.mesh.shape) == {
+        "data": 2, "pipe": 2, "model": 1, "seq": 2
+    }
+
+    t_dense = TFAMTrainer(copy.deepcopy(config), log_dir=str(tmp_path / "ld3"),
+                          checkpoint_dir=str(tmp_path / "cd3"))
+
+    arrays = _one_batch(t_dense)
+    loss_sp, g_sp = _grads(t_sp, arrays)
+    loss_dense, g_dense = _grads(t_dense, arrays)
+    assert loss_sp == pytest.approx(loss_dense, abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_trainer_seq_pipe_parallel_trains_reference_recipe(
+    config, tmp_path, devices
+):
+    """The reference dropout-0.1 recipe trains with depth AND time sharded
+    on one mesh: finite trajectory, metric improves."""
+    import dataclasses
+
+    config.model = dataclasses.replace(
+        config.model, num_layers=2, dropout=0.1, mlp_dropout=0.1
+    )
+    config.training.seq_parallel = 2
+    config.training.pipeline_parallel = 2
+    trainer = TFAMTrainer(config, log_dir=str(tmp_path / "logs"),
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+    _, map_before = trainer.validate()
+    trainer.train()
+    _, map_after = trainer.validate()
+    assert all(np.isfinite(h["train_loss"]) for h in trainer.history)
+    assert map_after > map_before + 0.1, (map_before, map_after)
+
+
+def test_parallelism_validation_errors(config, tmp_path):
+    import copy
+    import dataclasses
 
     bad2 = copy.deepcopy(config)
     bad2.training.pipeline_parallel = 2

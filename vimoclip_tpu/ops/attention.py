@@ -197,6 +197,11 @@ class MultiHeadAttention(nn.Module):
     #   ``seq_mesh``. Attention dropout is supported (global-coordinate
     #   counter PRNG — sharding-invariant bits; docs/SCALING.md
     #   "Long videos").
+    # - "ring_inner": the same per-shard ring body, WITHOUT the shard_map
+    #   wrapper — for callers already inside a shard_map whose mesh carries
+    #   the "seq" axis (the GPipe pipeline stages, parallel/pipelining.py;
+    #   shard_map does not nest). Inputs here are the LOCAL time shards;
+    #   ``seq_mesh`` is not used (the axis name is in scope).
     implementation: str = "xla"
     # Mesh for implementation="ring" (must carry a "seq" axis; batch is
     # sharded over ``seq_batch_axis`` when set). A runtime object, so it is
@@ -302,6 +307,23 @@ class MultiHeadAttention(nn.Module):
                 batch_axis=self.seq_batch_axis,
                 dropout_rate=self.dropout if attn_dropout_active else 0.0,
                 dropout_rng=dropout_rng,
+            )
+        elif impl == "ring_inner":
+            from vimoclip_tpu.parallel.mesh import SEQ_AXIS
+            from vimoclip_tpu.parallel.sequence import ring_attention
+
+            # Already inside a shard_map (pipeline stages): q/k/v are the
+            # LOCAL time shards, the "seq" axis name is in scope, and the
+            # padding mask shard travels the ring with its K/V block.
+            mask = key_padding_mask
+            if mask is None:
+                mask = jnp.zeros((k.shape[0], k.shape[2]), bool)
+            out = ring_attention(
+                q, k, v, mask,
+                axis_name=SEQ_AXIS,
+                dropout_rate=self.dropout if attn_dropout_active else 0.0,
+                dropout_key=dropout_rng,
+                batch_axis=self.seq_batch_axis,
             )
         elif impl == "flash":
             from vimoclip_tpu.ops.pallas import flash_attention

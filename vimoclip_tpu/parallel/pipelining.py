@@ -109,6 +109,7 @@ def pipeline_apply(
     pipe_axis: str = PIPE_AXIS,
     batch_axis: str | None = None,
     stage_rng: jax.Array | None = None,
+    seq_axis: str | None = None,
 ):
     """Run ``stage_fn`` as a GPipe pipeline over ``mesh``'s ``pipe`` axis.
 
@@ -125,7 +126,15 @@ def pipeline_apply(
         mesh: mesh containing ``pipe_axis`` (and ``batch_axis`` if given).
         stage_rng: optional base PRNG key enabling stochastic (dropout)
             stages — per-tick keys are ``fold_in(base, stage, tick[,
-            data_shard])`` (module docstring).
+            data_shard][, seq_shard])`` (module docstring).
+        seq_axis: optional mesh axis the activations' TIME dimension (axis
+            2 of every ``(M, microbatch, T, ...)`` leaf) is sharded over —
+            sequence parallelism INSIDE the pipeline stages. ``stage_fn``
+            then sees local time shards and must do its attention with the
+            inside-shard_map ring body (``attention_impl="ring_inner"``,
+            ops/attention.py); everything elementwise over time needs no
+            change. The seq shard index is folded into the per-tick rng so
+            elementwise dropout decorrelates across time shards.
 
     Returns:
         Outputs with the same ``(M, microbatch, ...)`` layout, replicated
@@ -133,6 +142,8 @@ def pipeline_apply(
     """
     if pipe_axis not in mesh.shape:
         raise ValueError(f"mesh {dict(mesh.shape)} has no {pipe_axis!r} axis")
+    if seq_axis is not None and seq_axis not in mesh.shape:
+        raise ValueError(f"mesh {dict(mesh.shape)} has no {seq_axis!r} axis")
     n = mesh.shape[pipe_axis]
     leaves = jax.tree.leaves(stage_params)
     if not leaves or any(leaf.shape[0] != n for leaf in leaves):
@@ -150,6 +161,13 @@ def pipeline_apply(
                 # decorrelate the data shards' dropout streams (they hold
                 # DIFFERENT rows of the batch)
                 rng = jax.random.fold_in(rng, lax.axis_index(batch_axis))
+            if seq_axis is not None:
+                # likewise the time shards (different positions of the same
+                # rows). The ring-attention bits stay self-consistent — a
+                # q-row's blocks are generated only by the shard owning the
+                # row — but, like everything here, geometry-keyed (module
+                # docstring).
+                rng = jax.random.fold_in(rng, lax.axis_index(seq_axis))
         perm = [(i, (i + 1) % n) for i in range(n)]
         m_count = jax.tree.leaves(xs)[0].shape[0]
 
@@ -226,7 +244,9 @@ def pipeline_apply(
         return jax.tree.map(bcast, outs)
 
     params_spec = P(pipe_axis)
-    xs_spec = P(None, batch_axis)
+    # (M, microbatch, T, ...) — time sharded over seq_axis when composed
+    xs_spec = (P(None, batch_axis, seq_axis) if seq_axis is not None
+               else P(None, batch_axis))
     if stage_rng is not None:
         return jax.shard_map(
             body,
@@ -254,6 +274,7 @@ def tfam_cross_pipeline_logits(
     n_micro: int | None = None,
     pipe_axis: str = PIPE_AXIS,
     batch_axis: str | None = None,
+    seq_axis: str | None = None,
     dtype=jnp.float32,
     dropout_rng: jax.Array | None = None,
 ):
@@ -279,6 +300,16 @@ def tfam_cross_pipeline_logits(
     keys, see :func:`pipeline_apply`) and the classifier head — the full
     reference recipe (dropout 0.1, cfg_AK/config_default.yaml) trains
     pipelined. Omit it for the deterministic bit-parity forward.
+
+    ``seq_axis`` composes SEQUENCE parallelism inside the pipeline stages
+    (round 4): activations enter the pipe shard_map with their time
+    dimension sharded over that mesh axis, and every stage's
+    self/cross-attention runs the inside-shard_map ring body
+    (``attention_impl="ring_inner"``) — K/V blocks rotate the seq ring
+    while microbatch activations hop the pipe ring. Depth beyond one
+    chip's HBM *and* time beyond one chip's HBM, on one mesh, dropout
+    included. T and Tm must divide the seq axis size (length buckets
+    already produce such shapes).
     """
     import flax.linen as nn
 
@@ -316,13 +347,24 @@ def tfam_cross_pipeline_logits(
     )
 
     # --- pipelined encoder ---
+    if seq_axis is not None:
+        n_seq = mesh.shape[seq_axis]
+        if t % n_seq or motion_emb.shape[1] % n_seq:
+            raise ValueError(
+                f"T={t}, Tm={motion_emb.shape[1]} must divide the "
+                f"{seq_axis!r} axis size {n_seq} — pad to a bucket first"
+            )
     layer_mod = AttentionLayer(
         cfg.d_model,
         cfg.nhead,
         cfg.dim_feedforward,
         dropout=cfg.dropout,
         activation=cfg.activation,
-        attention_impl="xla",  # per-shard dense attention inside shard_map
+        # dense attention on this device's full time when time is
+        # unsharded; the inside-shard_map ring body when the seq axis
+        # shards it (ops/attention.py "ring_inner")
+        attention_impl="xla" if seq_axis is None else "ring_inner",
+        seq_batch_axis=batch_axis if seq_axis is not None else None,
         dtype=dtype,
     )
     stage_params = stack_stage_params(
@@ -369,6 +411,7 @@ def tfam_cross_pipeline_logits(
     out = pipeline_apply(
         stage_fn, stage_params, micro, mesh,
         pipe_axis=pipe_axis, batch_axis=batch_axis, stage_rng=stage_rng,
+        seq_axis=seq_axis,
     )
     x = merge_microbatches(out)[0]
 

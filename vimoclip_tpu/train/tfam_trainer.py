@@ -82,13 +82,6 @@ class TFAMTrainer:
     ):
         self.config = config
         tcfg = config.training
-        if tcfg.seq_parallel > 1 and tcfg.pipeline_parallel > 1:
-            raise ValueError(
-                "training.parallelism: seq and pipe cannot be combined in "
-                "one run (ring attention inside GPipe stages is not wired); "
-                "pick the axis matching what outgrows the chip — time (seq) "
-                "or depth (pipe)"
-            )
         if tcfg.pipeline_parallel > 1 and not (
             config.model.use_cross_attention
             and not config.model.use_only_rgb
@@ -125,11 +118,15 @@ class TFAMTrainer:
 
         model_kwargs = {}
         model_cfg = config.model
-        if tcfg.seq_parallel > 1:
+        if tcfg.seq_parallel > 1 and tcfg.pipeline_parallel == 1:
             model_cfg = dataclasses.replace(model_cfg, attention_impl="ring")
             from vimoclip_tpu.parallel.mesh import DATA_AXIS
 
             model_kwargs = dict(seq_mesh=self.mesh, seq_batch_axis=DATA_AXIS)
+        # seq COMBINED with pipe ({seq: N, pipe: M}) never routes through
+        # self.model: _apply's pipelined branch threads seq_axis into
+        # tfam_cross_pipeline_logits, whose stages run the inside-shard_map
+        # ring body (attention_impl="ring_inner", parallel/pipelining.py).
         self.model = TFAM(
             config=model_cfg, num_classes=config.num_classes,
             dtype=self._dtype, **model_kwargs,
@@ -224,7 +221,7 @@ class TFAMTrainer:
             # training) uses per-(stage, microbatch) keys
             # (parallel/pipelining.py).
             from vimoclip_tpu.parallel import tfam_cross_pipeline_logits
-            from vimoclip_tpu.parallel.mesh import DATA_AXIS
+            from vimoclip_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
 
             return tfam_cross_pipeline_logits(
                 params, self.config.model, self.mesh,
@@ -232,6 +229,7 @@ class TFAMTrainer:
                 batch["mask_rgb"], batch["mask_motion"],
                 n_micro=tcfg.pipeline_microbatches,
                 batch_axis=DATA_AXIS,
+                seq_axis=SEQ_AXIS if tcfg.seq_parallel > 1 else None,
                 dtype=self._dtype,
                 dropout_rng=None if deterministic else rngs["dropout"],
             )
