@@ -483,6 +483,37 @@ def test_trainer_pipe_parallel_trains_reference_recipe(config, tmp_path, devices
     assert map_after > map_before + 0.1, (map_before, map_after)
 
 
+def test_trainer_seq_parallel_time_sharded_batch_placement(
+    config, tmp_path, devices
+):
+    """Sequence-parallel trainers place batch inputs time-sharded over
+    `seq` at prefetch (embeddings/masks P(data, seq), labels P(data)), so
+    the ring/pipe shard_maps consume the declared layout instead of
+    resharding on device — and the step result is placement-invariant."""
+    from jax.sharding import PartitionSpec as P
+
+    from vimoclip_tpu.data import prefetch_to_device
+
+    config.training.seq_parallel = 2
+    trainer = TFAMTrainer(config, log_dir=str(tmp_path / "l"),
+                          checkpoint_dir=str(tmp_path / "c"))
+    batch = next(iter(prefetch_to_device(
+        trainer.val_loader, sharding=trainer._batch_placement
+    )))
+    assert batch["embeddings"].sharding.spec == P("data", "seq")
+    assert batch["mask_rgb"].sharding.spec == P("data", "seq")
+    assert batch["labels"].sharding.spec == P("data")
+
+    arrays = {k: v for k, v in batch.items() if k != "video_id"}
+    loss_t, _ = trainer._eval_step(trainer.state.params, arrays)
+    plain = {
+        k: jax.device_put(np.asarray(v), trainer.batch_sharding)
+        for k, v in arrays.items()
+    }
+    loss_p, _ = trainer._eval_step(trainer.state.params, plain)
+    assert float(loss_t) == pytest.approx(float(loss_p), abs=1e-6)
+
+
 def test_trainer_seq_pipe_parallel_matches_dense_when_deterministic(
     config, tmp_path, devices
 ):

@@ -103,21 +103,25 @@ def prefetch_to_device(
 
     Numpy leaves become device arrays (placed with ``sharding`` if given —
     e.g. ``batch_sharding(mesh)`` for a data-parallel mesh); non-array keys
-    (video ids) pass through on host.
+    (video ids) pass through on host. ``sharding`` may also be a callable
+    ``(key, value) -> Sharding | None`` for per-key placement (the TFAM
+    trainer time-shards embeddings/masks over the ``seq`` axis so
+    sequence-parallel steps start from the layout their shard_map wants
+    instead of resharding on device).
     """
     import collections
 
     queue = collections.deque()
+    per_key = callable(sharding)
 
     def _put(batch: dict) -> dict:
         out = {}
         for k, v in batch.items():
             if k in drop_keys or not isinstance(v, np.ndarray):
                 out[k] = v
-            elif sharding is not None:
-                out[k] = jax.device_put(v, sharding)
             else:
-                out[k] = jax.device_put(v)
+                s = sharding(k, v) if per_key else sharding
+                out[k] = jax.device_put(v, s) if s is not None else jax.device_put(v)
         return out
 
     it = iter(iterator)

@@ -162,6 +162,33 @@ class TFAMTrainer:
             checkpoint_dir, keep_steps=config.training.keep_checkpoints
         )
         self.batch_sharding = batch_sharding(self.mesh)
+        # Sequence-parallel runs place batch inputs TIME-SHARDED over `seq`
+        # up front, so the ring/pipe shard_maps consume them in the layout
+        # their in_specs declare instead of paying an on-device reshard
+        # (XLA's "involuntary full rematerialization" fallback) every step.
+        # Placement only — jit output is identical either way.
+        if tcfg.seq_parallel > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vimoclip_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+            time_sharded = NamedSharding(self.mesh, P(DATA_AXIS, SEQ_AXIS))
+            n_seq = self.mesh.shape[SEQ_AXIS]
+            timed_keys = frozenset(
+                ("embeddings", "motion_embeddings", "mask_rgb", "mask_motion")
+            )
+
+            def place(key, value):
+                # fall back to batch-only sharding when T doesn't divide the
+                # seq axis (the ring raises its pointed error downstream)
+                if (key in timed_keys and value.ndim >= 2
+                        and value.shape[1] % n_seq == 0):
+                    return time_sharded
+                return self.batch_sharding
+
+            self._batch_placement = place
+        else:
+            self._batch_placement = self.batch_sharding
 
         dcfg = config.data
         self.train_ds = PairedEmbeddingDataset(
@@ -275,7 +302,7 @@ class TFAMTrainer:
         total_loss, n = 0.0, 0
         every = self.config.training.checkpoint_every_steps
         timer = StepTimer()
-        batches = prefetch_to_device(self.train_loader, sharding=self.batch_sharding)
+        batches = prefetch_to_device(self.train_loader, sharding=self._batch_placement)
         last_logits = last_labels = None
         for batch in progress(batches, desc=f"epoch {epoch+1}",
                               total=len(self.train_loader) - skip_batches):
@@ -309,7 +336,7 @@ class TFAMTrainer:
     def validate(self, epoch: int | None = None) -> tuple[float, float]:
         self.metric.reset()
         total_loss, n = 0.0, 0
-        for batch in prefetch_to_device(self.val_loader, sharding=self.batch_sharding):
+        for batch in prefetch_to_device(self.val_loader, sharding=self._batch_placement):
             arrays = {k: v for k, v in batch.items() if k != "video_id"}
             loss, logits = self._eval_step(self.state.params, arrays)
             total_loss += float(loss)
@@ -413,7 +440,7 @@ class TFAMTester:
         }
         total_loss, n = 0.0, 0
         for batch in prefetch_to_device(
-            self.t.val_loader, sharding=self.t.batch_sharding
+            self.t.val_loader, sharding=self.t._batch_placement
         ):
             arrays = {k: v for k, v in batch.items() if k != "video_id"}
             loss, logits = self.t._eval_step(self.t.state.params, arrays)
