@@ -185,3 +185,44 @@ def test_predict_cli_end_to_end(stage1_fixtures, tmp_path):
     probs = [p["probability"] for p in preds]
     assert all(0.0 <= p <= 1.0 for p in probs)
     assert probs == sorted(probs, reverse=True)
+
+    # turbo + guard rail: the student probe must run on the student's REAL
+    # input distribution — frame-diff frames, not raw RGB (fidelity.py
+    # sample_motion_probe_frames). Recorded via a wrapper because
+    # setup_logging(force=True) inside main drops any pre-attached capture
+    # handler.
+    import vimoclip_tpu.fidelity as fid
+
+    calls = []
+    real_check = fid.check_encoder_fidelity
+
+    def recording_check(params, cfg2, probe, n, thr, **kw):
+        calls.append((kw.get("encoder_name"), kw.get("frames")))
+        return real_check(params, cfg2, probe, n, thr, **kw)
+
+    fid.check_encoder_fidelity = recording_check
+    try:
+        predict_main([
+            video,
+            "--teacher-weights", clip_ckpt,
+            "--student-checkpoint-dir", student_dir,
+            "--student-clip-weights", clip_ckpt,
+            "--tfam-config", str(cfg_yaml),
+            "--tfam-checkpoint-dir", tfam_dir,
+            "--top-k", "3", "--frame-batch", "8", "--float32",
+            "--quantize", "int8", "--verify-fidelity", "3",
+            "--fidelity-threshold", "0.5",
+        ])
+    finally:
+        fid.check_encoder_fidelity = real_check
+    by_name = dict(calls)
+    assert "teacher ViT" in by_name and by_name["teacher ViT"] is None, calls
+    student_frames = by_name["student ViT (frame-diff probe)"]
+    # the probe frames ARE consecutive-pair diffs of the decoded video
+    from vimoclip_tpu.data.video_reader import read_video
+    from vimoclip_tpu.ops.preprocess import frame_diff
+
+    all_diffs = np.asarray(frame_diff(jnp.asarray(read_video(video))))
+    assert student_frames is not None and all(
+        any(np.array_equal(f, d) for d in all_diffs) for f in student_frames
+    )

@@ -100,6 +100,37 @@ def test_sample_video_frames_uniform(tmp_path):
     assert out_all.shape[0] == 11
 
 
+def test_sample_motion_probe_frames_are_consecutive_diffs(tmp_path):
+    """The predict/serve student probe must sample the student's ACTUAL
+    input distribution — BT.601 absdiff of consecutive decoded frames, the
+    same op the serving cascade feeds it — not raw RGB frames."""
+    import jax.numpy as jnp
+
+    from vimoclip_tpu.data.video_reader import read_video, write_video
+    from vimoclip_tpu.fidelity import sample_motion_probe_frames
+    from vimoclip_tpu.ops.preprocess import frame_diff
+
+    video = str(tmp_path / "clip.mp4")
+    write_video(
+        video,
+        np.random.default_rng(2).integers(0, 256, (9, 32, 32, 3),
+                                          dtype=np.uint8),
+    )
+    out = sample_motion_probe_frames(video, 4)
+    assert out.shape == (4, 32, 32, 3) and out.dtype == np.uint8
+    # each probe frame IS frame_diff of a consecutive decoded pair
+    decoded = read_video(video)
+    all_diffs = np.asarray(frame_diff(jnp.asarray(decoded)))
+    assert all(
+        any(np.array_equal(f, d) for d in all_diffs) for f in out
+    )
+    # 1-frame video: no pairs to diff
+    short = str(tmp_path / "short.mp4")
+    write_video(short, np.zeros((1, 32, 32, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="2 frames"):
+        sample_motion_probe_frames(short, 4)
+
+
 def test_extract_cli_verify_fidelity(tmp_path):
     """--verify-fidelity on the extraction CLI: passes at a sane threshold,
     aborts the run (before any HDF5 is written) at an impossible one."""

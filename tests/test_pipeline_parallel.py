@@ -383,6 +383,23 @@ def test_tfam_pipe_seq_dropout_trains(pipe_seq_mesh):
     np.testing.assert_array_equal(np.asarray(det), np.asarray(zero_rate))
 
 
+def test_tfam_pipelined_honors_head_proj(pipe_mesh):
+    """model.head_proj="fused" must reach the pipelined stages' attention
+    (same params, different XLA scheduling — ops/attention ledger 17), not
+    be silently reset to "split"; outputs still match TFAM.apply."""
+    cfg = TFAMModelConfig(**{**CFG.__dict__, "head_proj": "fused"})
+    model = TFAM(config=cfg, num_classes=C)
+    rgb, mot, mr, mf = _tfam_inputs(jax.random.key(16))
+    params = model.init(jax.random.key(17), rgb, mot, mr, mf)["params"]
+    expect = model.apply({"params": params}, rgb, mot, mr, mf,
+                         deterministic=True)
+    got = tfam_cross_pipeline_logits(
+        params, cfg, pipe_mesh, rgb, mot, mr, mf,
+        n_micro=4, batch_axis="data",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+
 def test_tfam_pipe_seq_rejects_indivisible_time(pipe_seq_mesh):
     model = TFAM(config=CFG, num_classes=C)
     rgb, mot, mr, mf = _tfam_inputs_bucketed(jax.random.key(14), t=12, tm=9)

@@ -305,6 +305,24 @@ def test_dynamic_batcher_motion_videos_run_serially(predictor, videos,
     )
 
 
+def test_dynamic_batcher_zero_wait_pools_within_request(predictor, videos):
+    """--batch-wait-ms 0 disables cross-request coalescing ONLY: a single
+    multi-video request is one atomic queue entry, so it always runs as one
+    pooled device call — and a request bigger than max_batch still pools
+    whole (max_batch caps coalescing ACROSS requests, never splits one)."""
+    rec = _RecordingPredictor(predictor)
+    batcher = DynamicBatcher(rec, max_batch=1, max_wait_ms=0)
+    try:
+        out = batcher.predict_many(list(videos), [None] * len(videos), 3, None)
+    finally:
+        batcher.shutdown()
+    assert len(rec.batch_calls) == 1 and rec.serial_calls == []
+    assert rec.batch_calls[0] == list(videos)
+    for video, pred in zip(videos, out):
+        solo = predictor.predict(video, top_k=3)
+        assert prediction_record(video, pred) == prediction_record(video, solo)
+
+
 def test_http_server_dynamic_batching_and_stats(predictor, videos):
     """The HTTP frontend with a batcher: concurrent POSTs coalesce (stats
     prove it), responses match the lock-serialised server's, and /stats

@@ -358,6 +358,13 @@ def test_parallelism_yaml_block_validation(tmp_path, caplog):
 
     with pytest.raises(ValueError, match="parallelism must be a mapping"):
         load(" 4\n")
+    # FALSY non-mappings must raise too (previously swallowed by `or {}`
+    # into silent unparallelised defaults); empty mapping stays valid
+    with pytest.raises(ValueError, match="parallelism must be a mapping"):
+        load(" []\n")
+    with pytest.raises(ValueError, match="parallelism must be a mapping"):
+        load(" ''\n")
+    assert load(" {}\n").training.seq_parallel == 1
     with pytest.raises(ValueError, match=r"parallelism\.seq must be an int"):
         load("\n    seq: two\n")
     with caplog.at_level(_logging.WARNING):
@@ -569,6 +576,15 @@ def test_trainer_seq_pipe_parallel_trains_reference_recipe(
 def test_parallelism_validation_errors(config, tmp_path):
     import copy
     import dataclasses
+
+    # an externally-passed mesh missing the requested axis must fail with a
+    # pointed error, not a raw KeyError('seq') deep in placement setup
+    bad0 = copy.deepcopy(config)
+    bad0.training.seq_parallel = 2
+    with pytest.raises(ValueError, match="no 'seq' axis"):
+        TFAMTrainer(bad0, log_dir=str(tmp_path / "l0"),
+                    checkpoint_dir=str(tmp_path / "c0"),
+                    mesh=create_mesh(MeshConfig(4, 2)))
 
     bad2 = copy.deepcopy(config)
     bad2.training.pipeline_parallel = 2

@@ -188,11 +188,21 @@ def build_predictor(args, probe_video: str | None = None):
                 half_precision=not args.float32, encoder_name="teacher ViT",
             )
         if student_config.matmul_quant or student_config.token_merge_r:
+            from vimoclip_tpu.fidelity import sample_motion_probe_frames
+
             tower = sstate.params.get("visual_encoder", sstate.params)
+            # In this cascade the student only ever sees frame_diff()
+            # outputs (serving.py), whose near-black sparse statistics
+            # stress int8/ToMe very differently from RGB — probe on THAT
+            # distribution, not on raw probe-video frames.
             check_encoder_fidelity(
                 tower, student_config, probe_video,
                 args.verify_fidelity, args.fidelity_threshold,
-                half_precision=not args.float32, encoder_name="student ViT",
+                half_precision=not args.float32,
+                encoder_name="student ViT (frame-diff probe)",
+                frames=sample_motion_probe_frames(
+                    probe_video, args.verify_fidelity
+                ),
             )
 
     class_names: dict[int, str] = {}
@@ -235,6 +245,20 @@ def find_motion_match(motion_videos_dir: str | None, video: str) -> str | None:
     return None
 
 
+def prediction_record(video: str, pred) -> dict:
+    """The per-video JSON record shape — ONE definition shared by
+    vimo-predict's --output file and vimo-serve's responses, so daemon
+    consumers parse both unchanged (cli/serve.py imports this)."""
+    return {
+        "video": video,
+        "predictions": [
+            {"class_id": cid, "class_name": name,
+             "probability": round(prob, 4)}
+            for cid, name, prob in pred.top_classes
+        ],
+    }
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         description="Predict actions for raw videos (full fused cascade)"
@@ -254,15 +278,7 @@ def main(argv: list[str] | None = None) -> None:
             video, motion_video_path=motion_path,
             top_k=args.top_k, max_frames=args.max_frames,
         )
-        record = {
-            "video": video,
-            "predictions": [
-                {"class_id": cid, "class_name": name,
-                 "probability": round(prob, 4)}
-                for cid, name, prob in pred.top_classes
-            ],
-        }
-        results.append(record)
+        results.append(prediction_record(video, pred))
         top = pred.top_classes[0]
         logging.info("%s -> %s (p=%.3f)", video, top[1], top[2])
         for cid, name, prob in pred.top_classes:

@@ -50,6 +50,10 @@ import queue
 import threading
 import time
 
+# ONE record-shape definition for both surfaces (daemon responses must
+# stay parseable by vimo-predict --output consumers); predict.py's
+# module level is import-light, no jax pulled here.
+from vimoclip_tpu.cli.predict import prediction_record
 from vimoclip_tpu.utils.logging import setup_logging
 
 
@@ -73,9 +77,11 @@ _SHUTDOWN = object()
 class DynamicBatcher:
     """Cross-request dynamic batching around a single-device predictor.
 
-    Handler threads enqueue videos and block; ONE worker thread drains the
-    queue — waiting up to ``max_wait_ms`` after the first arrival to let
-    concurrent requests pile on, capped at ``max_batch`` videos — and runs
+    Handler threads enqueue their request (all its videos, one atomic
+    queue entry) and block; ONE worker thread drains the queue — waiting up
+    to ``max_wait_ms`` after the first arrival to let concurrent requests
+    pile on, stopping once ``max_batch`` videos have coalesced (a single
+    oversized request still pools whole) — and runs
     the whole group through ``predictor.predict_batch`` (pooled embedding
     batches + one fusion call, measured 1.56x the serial per-video loop on
     the chip, bench.py serving section). The worker is the only predictor
@@ -130,8 +136,11 @@ class DynamicBatcher:
             _PendingVideo(v, m, top_k, max_frames)
             for v, m in zip(videos, motions)
         ]
-        for item in items:
-            self._q.put(item)
+        # ONE queue entry per request: the worker sees the whole request
+        # atomically, so a multi-video request always pools into one device
+        # call even with --batch-wait-ms 0 (the wait only governs
+        # coalescing ACROSS requests).
+        self._q.put(items)
         for item in items:
             item.done.wait()
         for item in items:
@@ -154,21 +163,26 @@ class DynamicBatcher:
             first = self._q.get()
             if first is _SHUTDOWN:
                 return
-            batch = [first]
+            batch = list(first)
             deadline = time.monotonic() + self.max_wait
             stop = False
+            # Queue entries are whole REQUESTS (atomic groups), so
+            # max_batch caps cross-request coalescing — one oversized
+            # request still runs as its own pooled call. Past the deadline
+            # (incl. --batch-wait-ms 0) already-enqueued requests still
+            # drain via get_nowait; the wait only gates requests that have
+            # not arrived yet.
             while len(batch) < self.max_batch:
                 wait = deadline - time.monotonic()
-                if wait <= 0:
-                    break
                 try:
-                    item = self._q.get(timeout=wait)
+                    group = (self._q.get_nowait() if wait <= 0
+                             else self._q.get(timeout=wait))
                 except queue.Empty:
                     break
-                if item is _SHUTDOWN:
+                if group is _SHUTDOWN:
                     stop = True
                     break
-                batch.append(item)
+                batch.extend(group)
             try:
                 self._process(batch)
             except Exception:  # noqa: BLE001 — the worker must never die
@@ -235,16 +249,6 @@ class DynamicBatcher:
                 item.done.set()
 
 
-def prediction_record(video: str, pred) -> dict:
-    """vimo-predict's per-video record shape (cli/predict.py)."""
-    return {
-        "video": video,
-        "predictions": [
-            {"class_id": cid, "class_name": name,
-             "probability": round(prob, 4)}
-            for cid, name, prob in pred.top_classes
-        ],
-    }
 
 
 def handle_request(predictor, req: dict, default_top_k: int = 5,
@@ -414,13 +418,16 @@ def main(argv: list[str] | None = None) -> None:
                         "rigs; a request in a NEW length bucket still "
                         "compiles its small fusion program)")
     p.add_argument("--max-batch", type=int, default=8,
-                   help="dynamic batching: max videos coalesced into one "
-                        "pooled device call (HTTP frontend; default 8)")
+                   help="dynamic batching: stop coalescing further "
+                        "requests once this many videos are grouped "
+                        "(HTTP frontend; default 8; one bigger request "
+                        "still pools whole)")
     p.add_argument("--batch-wait-ms", type=float, default=10.0,
                    help="dynamic batching: how long the worker waits after "
                         "the first queued video for concurrent requests to "
-                        "pile on (default 10 ms; 0 disables coalescing "
-                        "across requests without disabling the queue)")
+                        "pile on (default 10 ms; 0 disables the wait — "
+                        "already-queued requests still coalesce, and a "
+                        "multi-video request always pools whole)")
     args = p.parse_args(argv)
     validate_model_args(p, args)
     if args.verify_fidelity and not args.probe_video:

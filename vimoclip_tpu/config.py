@@ -193,7 +193,9 @@ def load_experiment_config(path: str) -> ExperimentConfig:
     # `training.parallelism: {data: -1, model: 1, seq: 2, pipe: 2}` — the
     # mesh geometry block (round 4); flat `data_parallel:`-style keys keep
     # working, the nested block wins when both are present.
-    par = training_section.pop("parallelism", None) or {}
+    par = training_section.pop("parallelism", None)
+    if par is None:  # absent or YAML-null — both mean "defaults"
+        par = {}
     if not isinstance(par, dict):
         raise ValueError(
             f"{path}: training.parallelism must be a mapping with keys "

@@ -40,6 +40,34 @@ def sample_video_frames(video_path: str, n: int) -> np.ndarray:
     return frames[idx]
 
 
+def sample_motion_probe_frames(video_path: str, n: int) -> np.ndarray:
+    """Uniformly sample ``n`` CONSECUTIVE-pair BT.601 absdiff frames.
+
+    The fused predict/serve cascade feeds the student tower
+    ``frame_diff(window)`` outputs (serving.py) — sparse, near-black
+    frames whose dynamic int8 scales and ToMe merges behave nothing like
+    RGB's — so the student probe must measure fidelity on THAT input
+    distribution, not on raw RGB frames (the exporter probes a motion
+    video directly and needs no conversion). Uses the same ``frame_diff``
+    op the cascade runs, on sampled consecutive pairs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vimoclip_tpu.data.video_reader import read_video
+    from vimoclip_tpu.ops.preprocess import frame_diff
+
+    frames = read_video(video_path)
+    if len(frames) < 2:
+        raise ValueError(
+            f"need >= 2 frames for a motion probe, got {len(frames)} "
+            f"from {video_path}"
+        )
+    idx = np.unique(np.linspace(0, len(frames) - 2, n).astype(int))
+    pairs = np.stack([frames[idx], frames[idx + 1]], axis=1)  # (n,2,H,W,3)
+    return np.asarray(jax.vmap(frame_diff)(jnp.asarray(pairs))[:, 0])
+
+
 def encoder_fidelity_probe(
     params: dict,
     approx_config,

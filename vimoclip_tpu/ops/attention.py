@@ -195,7 +195,8 @@ class MultiHeadAttention(nn.Module):
     #   time sharded over ``seq_mesh``'s ``seq`` axis, K/V blocks rotated
     #   around the ICI ring. For sequences beyond one chip's HBM; requires
     #   ``seq_mesh``. Attention dropout is supported (global-coordinate
-    #   counter PRNG — sharding-invariant bits; docs/SCALING.md
+    #   counter PRNG — bits invariant to placement at a fixed seq axis
+    #   size; docs/SCALING.md
     #   "Long videos").
     # - "ring_inner": the same per-shard ring body, WITHOUT the shard_map
     #   wrapper — for callers already inside a shard_map whose mesh carries
@@ -297,7 +298,9 @@ class MultiHeadAttention(nn.Module):
             # Attention dropout rides the ring too: bits keyed on global
             # (row, key-block) coordinates (parallel/sequence.py), so the
             # reference's dropout-0.1 training recipe trains sequence-
-            # parallel, invariant to the (data, seq) sharding.
+            # parallel, invariant to the (data, seq) LAYOUT at a fixed
+            # seq axis size (parallel/sequence.py: resizing the axis
+            # re-partitions the block grid and redraws the stream).
             out = sequence_parallel_attention(
                 q,
                 k,

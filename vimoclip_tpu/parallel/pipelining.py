@@ -365,6 +365,7 @@ def tfam_cross_pipeline_logits(
         # shards it (ops/attention.py "ring_inner")
         attention_impl="xla" if seq_axis is None else "ring_inner",
         seq_batch_axis=batch_axis if seq_axis is not None else None,
+        head_proj=cfg.head_proj,  # honor the configured scheduling knob
         dtype=dtype,
     )
     stage_params = stack_stage_params(

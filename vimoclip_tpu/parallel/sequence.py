@@ -40,11 +40,16 @@ counter-based scheme lifted to GLOBAL block coordinates. The conceptual
 full (B, H, Tq, Tk) keep mask is defined blockwise: the (qi, ki) shard
 block's bits come from ``fold_in(fold_in(key, global_row), qi * n + ki)``
 — a pure function of each row's GLOBAL batch index and the block's global
-grid position, never of which device computes it. So the mask (hence the
-result) is identical under any (data, seq) sharding, the backward pass
-(scan + jax.checkpoint re-runs the step) regenerates the exact bits, and
-the ``allgather`` strategy assembles the very same mask densely — keeping
-it the bit-oracle for ``ring`` with dropout on. Application order matches
+grid position, never of which device computes it. So at a FIXED seq axis
+size n the mask (hence the result) is identical under any (data, seq)
+LAYOUT — which devices hold which rows/blocks, ring vs allgather — the
+backward pass (scan + jax.checkpoint re-runs the step) regenerates the
+exact bits, and the ``allgather`` strategy assembles the very same mask
+densely, keeping it the bit-oracle for ``ring`` with dropout on. The
+block GRID itself is n×n, so changing the seq axis size (seq=2 → seq=4)
+re-partitions the blocks and redraws the stream — like every dropout
+stream here, implementation-defined across geometries (PARITY.md), just
+invariant to placement within one. Application order matches
 ops/pallas/flash_attention.py: the softmax denominator ``l`` accumulates
 PRE-dropout, dropped probabilities feed the PV matmul, and the final
 normalisation divides by ``l * (1 - rate)`` — i.e. the XLA path's
@@ -102,8 +107,8 @@ def _block_keep(dropout_key, rows, block_idx, h, tq, tk, rate):
     """Bernoulli keep mask (B_local, H, tq, tk) for ONE (qi, ki) shard block.
 
     Bits are a pure function of (key, global row id, global block index) —
-    the ring/allgather strategies and any (data, seq) sharding of the same
-    problem therefore draw the SAME mask (module docstring)."""
+    the ring/allgather strategies and any placement of the same problem at
+    the same seq axis size draw the SAME mask (module docstring)."""
 
     def one_row(row_id):
         k_row = jax.random.fold_in(dropout_key, row_id)
@@ -287,9 +292,10 @@ def sequence_parallel_attention(
         strategy: "ring" (O(T/n) memory) or "allgather" (exact, simple).
         dropout_rate: attention-weight dropout probability; requires
             ``dropout_rng``. Bits are keyed on global (row, block)
-            coordinates, so results are invariant to the (data, seq)
-            sharding and identical between the two strategies (module
-            docstring).
+            coordinates, so at a fixed seq axis size results are
+            invariant to the (data, seq) layout and identical between
+            the two strategies (module docstring; resizing the axis
+            redraws the stream).
         dropout_rng: a ``jax.random`` key (any impl) when
             ``dropout_rate > 0``.
     """

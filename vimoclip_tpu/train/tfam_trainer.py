@@ -100,6 +100,22 @@ class TFAMTrainer:
                 pipeline_parallel=tcfg.pipeline_parallel,
             )
         )
+        # An externally-passed mesh must carry the axes the parallelism
+        # config asks for — fail pointedly here instead of a bare
+        # KeyError('seq'/'pipe') deep in placement/shard_map setup.
+        from vimoclip_tpu.parallel.mesh import PIPE_AXIS, SEQ_AXIS
+
+        for flag, field, value, axis in (
+            ("seq", "seq_parallel", tcfg.seq_parallel, SEQ_AXIS),
+            ("pipe", "pipeline_parallel", tcfg.pipeline_parallel, PIPE_AXIS),
+        ):
+            if value > 1 and axis not in self.mesh.shape:
+                raise ValueError(
+                    f"training.parallelism: {flag}={value} but the provided "
+                    f"mesh {dict(self.mesh.shape)} has no {axis!r} axis — "
+                    f"build it with create_mesh(MeshConfig({field}={value})) "
+                    f"or drop the parallelism setting"
+                )
         self._dtype = (
             jnp.bfloat16 if config.training.half_precision else jnp.float32
         )
@@ -111,8 +127,9 @@ class TFAMTrainer:
         #
         # training.parallelism {seq: N} forces attention_impl="ring" with
         # the trainer's own mesh threaded in: time sharded over the `seq`
-        # axis, attention dropout riding the ring with sharding-invariant
-        # global-coordinate bits (parallel/sequence.py) — the reference
+        # axis, attention dropout riding the ring with global-coordinate
+        # bits invariant to placement at a fixed seq axis size
+        # (parallel/sequence.py) — the reference
         # dropout-0.1 recipe trains beyond one chip's HBM.
         import dataclasses
 
