@@ -89,6 +89,27 @@ def test_export_resume_and_errors(videos, params, tmp_path):
     assert counts2 == {"processed": 0, "skipped": 2, "errors": 1}
 
 
+def test_export_rejects_colliding_stems(params, tmp_path):
+    """Groups are keyed by basename stem while discovery globs recursively
+    (nested MammalNet layouts) — a/clip.mp4 vs b/clip.mp4 must fail up
+    front instead of the second silently reading as a resume skip."""
+    rng = np.random.default_rng(4)
+    paths = []
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        p = str(d / "clip001.mp4")
+        write_video(p, rng.integers(0, 256, (5, 36, 64, 3), dtype=np.uint8))
+        paths.append(p)
+    exp = MotionEmbeddingExporter(params, CFG, chunk_size=4,
+                                  half_precision=False)
+    with pytest.raises(ValueError, match="duplicate video id"):
+        exp.export(paths, str(tmp_path / "out.h5"))
+    # the same path listed twice is NOT a collision (idempotent lists)
+    out = exp.export([paths[0], paths[0]], str(tmp_path / "out2.h5"))
+    assert out["processed"] == 1 and out["skipped"] == 1
+
+
 def test_memory_guard():
     memory_guard(0.0)  # always passes
     with pytest.raises(LowMemoryError):

@@ -305,6 +305,76 @@ def test_dynamic_batcher_motion_videos_run_serially(predictor, videos,
     )
 
 
+class _StubPred:
+    """Records predict() kwargs; returns a minimal prediction object."""
+
+    class _P:
+        top_classes = [(0, "eat", 0.9)]
+
+    def __init__(self):
+        self.calls = []
+
+    def predict(self, video, motion_video_path=None, top_k=5,
+                max_frames=None):
+        self.calls.append({"video": video, "max_frames": max_frames,
+                           "top_k": top_k})
+        return self._P()
+
+
+def test_daemon_max_frames_default_and_override():
+    """--max-frames becomes the daemon-level default for requests that omit
+    max_frames; an EXPLICIT null in the request means 'no cap' and
+    overrides it (previously the flag was parsed and silently ignored)."""
+    stub = _StubPred()
+    handle_request(stub, {"video": "a.mp4"}, default_max_frames=7)
+    handle_request(stub, {"video": "b.mp4", "max_frames": None},
+                   default_max_frames=7)
+    handle_request(stub, {"video": "c.mp4", "max_frames": 3},
+                   default_max_frames=7)
+    assert [c["max_frames"] for c in stub.calls] == [7, None, 3]
+
+
+def test_http_status_codes_distinguish_client_and_server_faults():
+    """Malformed/bad-input requests answer 400; server-side faults answer
+    500 (so retry policies treat them as transient, not invalid input)."""
+
+    class _Boom:
+        def predict(self, *a, **k):
+            raise RuntimeError("device fell over")
+
+    server = make_http_server(_Boom(), port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/predict"
+
+        def post(body: bytes) -> int:
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": "application/json"}
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        import urllib.error
+
+        assert post(b"not json at all") == 400
+        assert post(b"{}") == 400            # neither "video" nor "videos"
+        assert post(json.dumps({"video": "x.mp4"}).encode()) == 500
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+
+
+def test_batcher_rejects_requests_after_shutdown(predictor):
+    batcher = DynamicBatcher(predictor, max_batch=2, max_wait_ms=1)
+    batcher.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        batcher.predict_many(["x.mp4"], [None], 3, None)
+
+
 def test_dynamic_batcher_zero_wait_pools_within_request(predictor, videos):
     """--batch-wait-ms 0 disables cross-request coalescing ONLY: a single
     multi-video request is one atomic queue entry, so it always runs as one

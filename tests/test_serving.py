@@ -104,6 +104,23 @@ def test_predict_with_external_motion_video(predictor, video, tmp_path):
     assert pred.probabilities.shape == (C,)
 
 
+def test_single_frame_video_rejected(predictor, video, tmp_path):
+    """A 1-frame input has NO consecutive pair to diff — the cascade must
+    refuse pointedly instead of silently cross-attending over zero motion
+    tokens (every layer would reduce to its output-projection bias)."""
+    with pytest.raises(ValueError, match=">= 2"):
+        predictor.predict(video, max_frames=1)
+    frames = np.zeros((1, 36, 48, 3), np.uint8)
+    with pytest.raises(ValueError, match=">= 2"):
+        predictor.predict_videos([frames], ["oneframe"])
+    # an explicit motion video lifts the requirement (motion comes from it)
+    motion = str(tmp_path / "m1.mp4")
+    write_video(motion, np.random.default_rng(7).integers(
+        0, 256, (6, 36, 48, 3), dtype=np.uint8))
+    pred = predictor.predict(video, motion_video_path=motion, max_frames=1)
+    assert pred.probabilities.shape == (C,)
+
+
 def test_bucketing_respects_max_seq_len(predictor):
     rgb = np.random.default_rng(1).normal(size=(40, 16)).astype(np.float32)
     mot = np.random.default_rng(2).normal(size=(39, 16)).astype(np.float32)

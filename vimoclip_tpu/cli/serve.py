@@ -111,6 +111,7 @@ class DynamicBatcher:
         self.max_batch = max(1, int(max_batch))
         self.max_wait = max(0.0, float(max_wait_ms)) / 1e3
         self._q: queue.Queue = queue.Queue()
+        self._closed = False
         self._stats_lock = threading.Lock()
         self._stats = {
             "requests": 0,          # videos submitted
@@ -140,9 +141,21 @@ class DynamicBatcher:
         # atomically, so a multi-video request always pools into one device
         # call even with --batch-wait-ms 0 (the wait only governs
         # coalescing ACROSS requests).
+        if self._closed or not self._worker.is_alive():
+            raise RuntimeError(
+                "batcher is shut down or its worker died; restart the daemon"
+            )
         self._q.put(items)
         for item in items:
-            item.done.wait()
+            # bounded waits with a liveness check: if the worker dies from
+            # a non-Exception (MemoryError, interpreter teardown), handler
+            # threads must error out instead of hanging their HTTP clients
+            # forever on a done event nobody will ever set
+            while not item.done.wait(timeout=1.0):
+                if not self._worker.is_alive() and not item.done.is_set():
+                    raise RuntimeError(
+                        "batcher worker died mid-request; restart the daemon"
+                    )
         for item in items:
             if item.error is not None:
                 raise item.error
@@ -153,6 +166,7 @@ class DynamicBatcher:
             return dict(self._stats)
 
     def shutdown(self) -> None:
+        self._closed = True  # reject new requests before the sentinel lands
         self._q.put(_SHUTDOWN)
         self._worker.join(timeout=30)
 
@@ -253,7 +267,8 @@ class DynamicBatcher:
 
 def handle_request(predictor, req: dict, default_top_k: int = 5,
                    motion_videos_dir: str | None = None,
-                   batcher: DynamicBatcher | None = None) -> dict:
+                   batcher: DynamicBatcher | None = None,
+                   default_max_frames: int | None = None) -> dict:
     """One request -> one response dict (shared by both frontends).
 
     With ``batcher`` set (the HTTP frontend under dynamic batching), every
@@ -263,8 +278,13 @@ def handle_request(predictor, req: dict, default_top_k: int = 5,
     from vimoclip_tpu.cli.predict import find_motion_match
 
     top_k = int(req.get("top_k", default_top_k))
-    max_frames = req.get("max_frames")
-    max_frames = None if max_frames is None else int(max_frames)
+    if "max_frames" in req:
+        # explicit null in the request means "no cap", overriding the
+        # daemon-level --max-frames default
+        mf = req["max_frames"]
+        max_frames = None if mf is None else int(mf)
+    else:
+        max_frames = default_max_frames
     if "videos" in req:
         videos = list(req["videos"])
         explicit = req.get("motion_videos")
@@ -305,7 +325,8 @@ def handle_request(predictor, req: dict, default_top_k: int = 5,
 
 
 def serve_stdin(predictor, in_stream, out_stream, default_top_k: int = 5,
-                motion_videos_dir: str | None = None) -> int:
+                motion_videos_dir: str | None = None,
+                default_max_frames: int | None = None) -> int:
     """JSON-lines loop; returns the number of requests served. Per-request
     failures answer ``{"error": ...}`` and the loop continues (a bad path
     must not kill the daemon — the exporter's per-video fault-tolerance
@@ -317,7 +338,8 @@ def serve_stdin(predictor, in_stream, out_stream, default_top_k: int = 5,
             continue
         try:
             resp = handle_request(
-                predictor, json.loads(line), default_top_k, motion_videos_dir
+                predictor, json.loads(line), default_top_k, motion_videos_dir,
+                default_max_frames=default_max_frames,
             )
         except Exception as e:  # noqa: BLE001 — fault-tolerant loop
             logging.exception("request failed")
@@ -331,7 +353,8 @@ def serve_stdin(predictor, in_stream, out_stream, default_top_k: int = 5,
 def make_http_server(predictor, host: str = "127.0.0.1", port: int = 0,
                      default_top_k: int = 5,
                      motion_videos_dir: str | None = None,
-                     batcher: DynamicBatcher | None = None):
+                     batcher: DynamicBatcher | None = None,
+                     default_max_frames: int | None = None):
     """Build (without starting) the threaded HTTP server. Port 0 picks a
     free port (tests); ``server.server_address[1]`` has the real one.
 
@@ -372,17 +395,28 @@ def make_http_server(predictor, host: str = "127.0.0.1", port: int = 0,
                 if batcher is not None:
                     resp = handle_request(
                         predictor, req, default_top_k, motion_videos_dir,
-                        batcher=batcher,
+                        batcher=batcher, default_max_frames=default_max_frames,
                     )
                 else:
                     with lock:
                         resp = handle_request(
-                            predictor, req, default_top_k, motion_videos_dir
+                            predictor, req, default_top_k, motion_videos_dir,
+                            default_max_frames=default_max_frames,
                         )
                 self._reply(200, resp)
-            except Exception as e:  # noqa: BLE001 — fault-tolerant endpoint
-                logging.exception("request failed")
+            except (json.JSONDecodeError, KeyError, TypeError,
+                    ValueError, OSError) as e:
+                # malformed request / bad path / unreadable video (OSError:
+                # read_video's "could not open") — the CLIENT's fault,
+                # retrying unchanged cannot succeed
+                logging.exception("bad request")
                 self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — fault-tolerant endpoint
+                # server-side fault (device error, worker death, OOM) —
+                # 5xx so load balancers / retry policies treat it as
+                # transient instead of permanently-invalid input
+                logging.exception("request failed server-side")
+                self._reply(500, {"error": str(e)})
 
         def log_message(self, fmt, *fmt_args):
             logging.info("http: " + fmt, *fmt_args)
@@ -438,6 +472,11 @@ def main(argv: list[str] | None = None) -> None:
                 "to compile the cascade on)")
 
     setup_logging()
+    if args.output:
+        logging.warning(
+            "--output is ignored by the daemon: responses stream to "
+            "stdout/HTTP per request (use vimo-predict for a JSON file)"
+        )
     predictor = build_predictor(args, probe_video=args.probe_video)
     if args.warmup:
         t0 = time.monotonic()
@@ -459,6 +498,7 @@ def main(argv: list[str] | None = None) -> None:
         server = make_http_server(
             predictor, args.host, args.port, args.top_k,
             args.motion_videos_dir, batcher=batcher,
+            default_max_frames=args.max_frames,
         )
         logging.info("listening on %s:%d (dynamic batching: %s)",
                      *server.server_address,
@@ -472,7 +512,8 @@ def main(argv: list[str] | None = None) -> None:
         import sys
 
         n = serve_stdin(predictor, sys.stdin, sys.stdout, args.top_k,
-                        args.motion_videos_dir)
+                        args.motion_videos_dir,
+                        default_max_frames=args.max_frames)
         logging.info("stdin closed after %d requests", n)
 
 

@@ -121,6 +121,22 @@ class MotionEmbeddingExporter:
         (the final counts report, inference_frame_diff.py:412)."""
         mode = "w" if overwrite else "a"
         counts = {"processed": 0, "skipped": 0, "errors": 0}
+        # Groups are keyed by extension-stripped BASENAME (the reference's
+        # key scheme, consumed by the TFAM dataset's stem matching) while
+        # find_motion_videos globs recursively — so a/clip.mp4 and
+        # b/clip.mp4 would silently collide: the second would read as a
+        # resume skip and never be exported. Fail up front instead.
+        stems: dict[str, str] = {}
+        for path in video_paths:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            if stem in stems and stems[stem] != path:
+                raise ValueError(
+                    f"duplicate video id {stem!r}: {stems[stem]} and {path} "
+                    "would overwrite each other in the HDF5 (groups are "
+                    "keyed by basename stem, the reference scheme) — "
+                    "rename one or export the subdirectories separately"
+                )
+            stems[stem] = path
         with h5py.File(output_h5, mode) as h5f:
             for path in video_paths:
                 video_id = os.path.splitext(os.path.basename(path))[0]
@@ -135,8 +151,7 @@ class MotionEmbeddingExporter:
                     # the SIGKILL-between-create-and-stamp window, neither
                     # attr — both retried (round-1 ADVICE finding).
                     finalized = g.attrs.get(
-                        "complete",
-                        "complete" not in g.attrs and "total_frames" in g.attrs,
+                        "complete", "total_frames" in g.attrs
                     )
                     if "embeddings" in g and finalized:
                         counts["skipped"] += 1

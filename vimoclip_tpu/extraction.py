@@ -546,16 +546,24 @@ def create_hdf5_dataset(
     frame_filter: dict[str, set] = {}
     container_total: dict[str, int] = {}
     if max_frames is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from vimoclip_tpu.data.video_reader import video_frame_count
 
-        for vid, path in videos:
-            total = video_frame_count(path)
-            if total > 0:
-                container_total[vid] = total
-                if total > max_frames:
-                    frame_filter[vid] = set(
-                        uniform_indices(total, max_frames).tolist()
-                    )
+        # Container opens are tiny but O(corpus): parallelize over the
+        # decode-worker count instead of a serial main-thread scan (30k
+        # videos x ~10 ms would idle the chip for minutes at startup).
+        with ThreadPoolExecutor(
+            max_workers=max(extractor.decode_workers, 1)
+        ) as ex:
+            totals = ex.map(video_frame_count, [p for _, p in videos])
+            for (vid, _), total in zip(videos, totals):
+                if total > 0:
+                    container_total[vid] = total
+                    if total > max_frames:
+                        frame_filter[vid] = set(
+                            uniform_indices(total, max_frames).tolist()
+                        )
 
     # Streaming eligibility: a video may stream (bounded host RAM, MN-style
     # resizable appends) unless the post-hoc max_frames guard might need its

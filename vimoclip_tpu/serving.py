@@ -260,6 +260,12 @@ class ViMoCLIPPredictor:
         """Full cascade on one video file."""
         frames = read_video(video_path, max_frames=max_frames)
         if motion_video_path is None:
+            if len(frames) < 2:
+                raise ValueError(
+                    f"{video_path}: {len(frames)} frame(s) decoded — the "
+                    "fused cascade needs >= 2 (motion = consecutive-frame "
+                    "diffs); raise max_frames or supply motion_video_path"
+                )
             rgb_emb, motion_emb = self.embed_video(frames)
         else:
             rgb_emb = self._embed_frames(self._teacher_embed, frames)
@@ -324,6 +330,12 @@ class ViMoCLIPPredictor:
         (T, H, W, 3) uint8 stacks (host numpy or device arrays) through the
         pooled embedding path plus one batched fusion call."""
         video_ids = video_ids or [f"video_{i}" for i in range(len(videos))]
+        for vid, frames in zip(video_ids, videos):
+            if len(frames) < 2:
+                raise ValueError(
+                    f"{vid}: {len(frames)} frame(s) — the fused cascade "
+                    "needs >= 2 (motion = consecutive-frame diffs)"
+                )
         embs = self._embed_videos_pooled(videos)
 
         t_r = round_up_bucket(max(len(r) for r, _ in embs),
