@@ -310,3 +310,50 @@ def test_async_writer_streaming_roundtrip(tmp_path):
         assert f["v1"].attrs["original_frames"] == 10
         assert f["v2"]["embeddings"].shape == (3, D)
         assert sorted(f["video_ids"].asstr()[:]) == ["v1", "v2"]
+
+
+def test_segment_dataset_cache_off_by_default_and_lru_thread_safe(
+    rgb_h5, motion_video_dir
+):
+    """The decode cache defaults OFF (under the shuffled train loader its
+    hit rate is ~0 and every miss would full-decode a video for one
+    window); the opt-in cache is a real LRU whose eviction under
+    concurrent workers never KeyErrors, and both paths agree."""
+    import concurrent.futures
+
+    ds_seek = SegmentDataset(rgb_h5, motion_video_dir, sequence_length=5)
+    assert ds_seek._cache_size == 0  # seek path is the default
+
+    ds = SegmentDataset(rgb_h5, motion_video_dir, sequence_length=5,
+                        decode_cache_videos=1)
+    expect = [ds_seek[i]["motion_frames"] for i in range(len(ds_seek))]
+
+    def read_all(seed):
+        idxs = np.random.default_rng(seed).permutation(len(ds))
+        for i in idxs:
+            np.testing.assert_array_equal(
+                ds[int(i)]["motion_frames"], expect[int(i)]
+            )
+
+    # many workers + cache of ONE video across three videos: constant
+    # eviction contention (workers must hold a local reference)
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        list(ex.map(read_all, range(12)))
+    assert len(ds._cache) <= 1
+
+
+def test_segment_dataset_zero_frame_motion_video_fails_pointedly(
+    rgb_h5, tmp_path
+):
+    """An undecodable/empty motion video must raise an error NAMING the
+    video, on both the seek and the cached path, instead of an opaque
+    IOError (or a crash deep in np.stack)."""
+    vdir = tmp_path / "motion_bad"
+    vdir.mkdir()
+    for name in sequence_lengths(rgb_h5):  # the dataset's own key scheme
+        (vdir / name).write_bytes(b"")  # zero-byte "video"
+    for cache in (0, 1):
+        ds = SegmentDataset(rgb_h5, str(vdir), sequence_length=5,
+                            decode_cache_videos=cache)
+        with pytest.raises(ValueError, match="decoded 0 frames"):
+            ds[0]

@@ -130,3 +130,41 @@ def test_mid_epoch_resume_exactly_matches_uninterrupted(corpus, tmp_path, mesh8)
     assert int(c.state.step) == steps_a
     for pa, pc in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_c)):
         np.testing.assert_array_equal(pa, pc)
+
+
+def test_evaluate_rejects_empty_val_loader(corpus, tmp_path, mesh8):
+    """batch_size > val segments with drop_last yields ZERO batches — that
+    must fail pointedly, not report val loss 0.0 (which save_if_best would
+    record as an unbeatable 'best')."""
+    h5, vdir = corpus
+    ds = SegmentDataset(h5, vdir, sequence_length=6)
+    trainer = StudentTrainer(
+        ds, ds, checkpoint_dir=str(tmp_path / "ckpt"),
+        vision_config=CFG, num_classes=C, lr=3e-3, batch_size=64,
+        num_workers=1, epochs=1, half_precision=False, mesh=mesh8,
+        data_parallel=4, model_parallel=2,
+    )
+    assert len(trainer.val_loader) == 0
+    with pytest.raises(ValueError, match="0 batches"):
+        trainer.evaluate()
+
+
+def test_train_returns_restored_best_on_noop_resume(corpus, tmp_path, mesh8):
+    """Resuming an already-finished run (no epochs left) must return the
+    PERSISTED best val loss, not inf."""
+    h5, vdir = corpus
+
+    def make(**kw):
+        return StudentTrainer(
+            SegmentDataset(h5, vdir, sequence_length=6),
+            SegmentDataset(h5, vdir, sequence_length=6),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            vision_config=CFG, num_classes=C, lr=3e-3, batch_size=4,
+            num_workers=1, epochs=1, half_precision=False, mesh=mesh8,
+            data_parallel=4, model_parallel=2, seed=49, **kw,
+        )
+
+    best1 = make().train()
+    assert np.isfinite(best1)
+    best2 = make(resume=True).train()  # start_epoch == epochs: no-op loop
+    assert best2 == pytest.approx(best1, rel=1e-6)

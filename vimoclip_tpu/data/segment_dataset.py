@@ -16,13 +16,18 @@ names, SURVEY.md #3/#4):
 
 TPU-first difference: instead of decoding the WHOLE motion video per
 __getitem__ (dataset.py:98 — the reference's #1 data-plane sin), only the
-needed window is decoded via seek (read_video_window), with an optional
-per-process LRU of decoded videos for the multi-segment-per-video case.
+needed window is decoded via seek (read_video_window). An OPT-IN
+per-process LRU of fully-decoded videos (``decode_cache_videos``) serves
+sequential multi-segment access (unshuffled eval sweeps); it is OFF by
+default because under the trainer's shuffled loader the hit rate is ~0
+and every miss would full-decode a video to serve one <=30-frame window
+— strictly worse than the seek path.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 
 import cv2
@@ -72,7 +77,7 @@ class SegmentDataset:
         sequence_length: int = 30,
         nested_prefix: str | None = None,
         spatial_size: tuple[int, int] | None = None,
-        decode_cache_videos: int = 2,
+        decode_cache_videos: int = 0,
     ):
         self.embeddings_path = embeddings_path
         self.motion_videos_dir = motion_videos_dir
@@ -83,6 +88,11 @@ class SegmentDataset:
         self.segments = build_segment_index(lengths, sequence_length)
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._cache_size = decode_cache_videos
+        # BatchLoader maps __getitem__ across worker THREADS: cache
+        # mutations need a lock, and readers must hold a local reference —
+        # another worker's insert can evict an entry between this worker's
+        # insert and its read.
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.segments)
@@ -93,20 +103,48 @@ class SegmentDataset:
     def _motion_window(self, video_id: str, start: int, n: int) -> np.ndarray:
         path = os.path.join(self.motion_videos_dir, video_id)
         if self._cache_size > 0:
-            if video_id not in self._cache:
-                self._cache[video_id] = read_video(path)
-                while len(self._cache) > self._cache_size:
-                    self._cache.popitem(last=False)
-            video = self._cache[video_id]
+            with self._cache_lock:
+                video = self._cache.get(video_id)
+                if video is not None:
+                    self._cache.move_to_end(video_id)  # LRU, not FIFO
+            if video is None:
+                try:
+                    video = read_video(path)  # decode outside the lock
+                except IOError as e:
+                    raise ValueError(
+                        f"motion video for {video_id!r} decoded 0 frames "
+                        f"({path}) — regenerate it or drop the video"
+                    ) from e
+                with self._cache_lock:
+                    self._cache[video_id] = video
+                    self._cache.move_to_end(video_id)
+                    while len(self._cache) > self._cache_size:
+                        self._cache.popitem(last=False)
             t = video.shape[0]
             start = min(start, max(t - 1, 0))  # clamp like dataset.py:112-113
             return video[start : min(start + n, t)]
-        # Uncached seek path: clamp the start the same way (the final padded
+        # Seek path (default): clamp the start the same way (the final padded
         # RGB segment requests motion frames past the T-1 motion stream).
         total = video_frame_count(path)
         if total > 0:
             start = min(start, total - 1)
-        return read_video_window(path, start, n)
+        try:
+            return read_video_window(path, start, n)
+        except IOError as e:
+            if start > 0:
+                # The container didn't report a frame count, so the EOF
+                # clamp above couldn't run and the final padded segment can
+                # request exactly one-past-the-end — step back one frame,
+                # the same place the clamp would have landed.
+                try:
+                    return read_video_window(path, start - 1, n)
+                except IOError:
+                    pass
+            raise ValueError(
+                f"motion video for {video_id!r} decoded 0 frames at "
+                f"window start {start} ({path}) — regenerate it or drop "
+                "the video"
+            ) from e
 
     def __getitem__(self, idx: int) -> dict:
         video_id, start, seg_len = self.segments[idx]

@@ -104,6 +104,8 @@ class StudentTrainer:
         self.ckpt = CheckpointManager(checkpoint_dir)
         self.writer = SummaryWriter(log_dir) if log_dir else None
         self.batch_sharding = batch_sharding(self.mesh)
+        self.batch_size = batch_size
+        self.val_ds = val_dataset
 
         self.train_loader = BatchLoader(
             train_dataset, batch_size, collate_segments, shuffle=True,
@@ -183,7 +185,11 @@ class StudentTrainer:
 
     def train_epoch(self, epoch: int, skip_batches: int = 0) -> dict:
         self.train_loader.set_epoch(epoch, start_batch=skip_batches)
-        sums = np.zeros(3)
+        # Loss sums accumulate ON DEVICE and are fetched once per epoch:
+        # a per-step float() would block the host on a device round trip
+        # (~20-28 ms through a tunneled rig, CLAUDE.md) and defeat JAX's
+        # async dispatch — the device would idle an RTT every step.
+        sums_dev = None
         n = 0
         timer = StepTimer()
         batches = self._device_batches(self.train_loader)
@@ -193,7 +199,8 @@ class StudentTrainer:
             self.state, total, d_loss, c_loss, logits = self._train_step(
                 self.state, batch
             )
-            sums += [float(total), float(d_loss), float(c_loss)]
+            step_vals = jnp.stack([total, d_loss, c_loss])
+            sums_dev = step_vals if sums_dev is None else sums_dev + step_vals
             n += 1
             if self.writer:
                 last_logits, last_labels = logits, batch["labels"]
@@ -207,10 +214,12 @@ class StudentTrainer:
                     extra={"epoch": epoch, "batch_in_epoch": skip_batches + n},
                 )
             if self.writer and n % 10 == 0:
+                # one blocking fetch per 10 steps, not per step
                 step = int(self.state.step)
-                self.writer.add_scalar("train/total_loss", float(total), step)
-                self.writer.add_scalar("train/distill_loss", float(d_loss), step)
-                self.writer.add_scalar("train/class_loss", float(c_loss), step)
+                t3 = np.asarray(step_vals)
+                self.writer.add_scalar("train/total_loss", float(t3[0]), step)
+                self.writer.add_scalar("train/distill_loss", float(t3[1]), step)
+                self.writer.add_scalar("train/class_loss", float(t3[2]), step)
         if self.writer and last_logits is not None:
             # last-batch logits/labels dumps, text AND histogram
             # (reference train.py:146-153)
@@ -219,21 +228,32 @@ class StudentTrainer:
             self.writer.add_text("Labels/LastBatch", str(labels_np), epoch)
             self.writer.add_histogram("Logits/LastBatch", logits_np, epoch)
             self.writer.add_histogram("Labels/LastBatch", labels_np, epoch)
+        sums = np.asarray(sums_dev) if n else np.zeros(3)
         out = dict(zip(("total", "distill", "class"), sums / max(n, 1)))
         out["segments_per_sec"] = timer.examples_per_sec
         return out
 
     def evaluate(self) -> dict:
-        sums = np.zeros(3)
+        sums_dev = None
         n = 0
         for batch in self._device_batches(self.val_loader):
             total, d_loss, c_loss = self._eval_step(self.state.params, batch)
-            sums += [float(total), float(d_loss), float(c_loss)]
+            step_vals = jnp.stack([total, d_loss, c_loss])
+            sums_dev = step_vals if sums_dev is None else sums_dev + step_vals
             n += 1
-        return dict(zip(("total", "distill", "class"), sums / max(n, 1)))
+        if n == 0:
+            # Silently returning 0.0 would be recorded as an unbeatable
+            # "best" val loss by save_if_best — fail pointedly instead.
+            raise ValueError(
+                f"validation loader produced 0 batches: batch_size "
+                f"{self.batch_size} exceeds the {len(self.val_ds)} val "
+                "segments (drop_last drops the short tail) — lower "
+                "batch_size or add validation data"
+            )
+        sums = np.asarray(sums_dev)
+        return dict(zip(("total", "distill", "class"), sums / n))
 
     def train(self) -> float:
-        best_val = float("inf")
         start = time.time()
         start_epoch, skip = 0, 0
         if self.resume:
@@ -247,6 +267,13 @@ class StudentTrainer:
                     start_epoch = int(extra.get("epoch", -1)) + 1
                 logging.info("resumed from %s (epoch %d, batch %d)",
                              latest, start_epoch, skip)
+        # Resume continues the PERSISTED best (restore() above reloads
+        # best_metric from extra.json): without this, resuming a run whose
+        # remaining epochs never improve would return inf.
+        best_val = (
+            -self.ckpt.best_metric
+            if self.ckpt.best_metric != -float("inf") else float("inf")
+        )
         for epoch in range(start_epoch, self.epochs):
             tr = self.train_epoch(epoch, skip_batches=skip)
             skip = 0
