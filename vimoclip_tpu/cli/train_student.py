@@ -19,6 +19,12 @@ def main(argv: list[str] | None = None) -> None:
     # b2 56% MFU -> b8 73% MFU); the reference's default is 32
     # (train.py:183) and remains reachable here.
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="accumulate gradients over N equal microbatches "
+                        "before each Adam update: the --batch-size loss "
+                        "surface at batch_size/N activation memory (reach "
+                        "the reference's batch 32, train.py:183, on clips "
+                        "whose activations outgrow HBM)")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--grad-clip", type=float, default=None)
@@ -98,6 +104,7 @@ def main(argv: list[str] | None = None) -> None:
         half_precision=not args.float32,
         checkpoint_every_steps=args.checkpoint_every_steps,
         resume=args.resume,
+        grad_accum=args.grad_accum,
     )
     best = trainer.train()
     logging.info("best val total loss: %.4f", best)

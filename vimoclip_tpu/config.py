@@ -63,6 +63,25 @@ class TrainingConfig:
     # Microbatches per pipelined step (defaults to the stage count — the
     # minimum that keeps every stage busy outside the bubble).
     pipeline_microbatches: int | None = None
+    # Gradient accumulation: split each loader batch into N equal
+    # microbatches, accumulate gradients across them on device
+    # (lax.scan), and apply ONE optimizer update — the loss surface of
+    # `batch_size` at the activation memory of `batch_size / N`. Use it
+    # to train recipe batch sizes whose activations outgrow one chip's
+    # HBM (e.g. the reference's stage-1 batch 32, train.py:183, on long
+    # clips). Optimizer/schedule semantics are unchanged: updates per
+    # epoch, cosine steps and checkpoints all count full batches.
+    # Microbatch losses are equal-weighted means; with dropout, each
+    # microbatch draws its own key split from the step key. Exactness
+    # caveat: the reference's unmasked pooling divides by the BATCH-max
+    # valid length (TFAMModelConfig.masked_pooling=False, the quirk
+    # default), so a microbatch's pooling denominator is its own max —
+    # batch-context-dependent exactly like the reference's own batch-size
+    # choice. With `model.masked_pooling: true` (the batch-invariant
+    # fix) the accumulated gradient equals the full-batch gradient up to
+    # f32 summation order (tests/test_grad_accum.py pins it).
+    # YAML: `training.grad_accum: N`.
+    grad_accum: int = 1
     half_precision: bool = False  # bfloat16 activations
     resume: bool = False  # true train-resume (reference never resumes, SURVEY §5)
     # also checkpoint mid-epoch every N steps; resume lands on the exact

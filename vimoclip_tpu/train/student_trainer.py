@@ -77,16 +77,43 @@ class StudentTrainer:
         mesh=None,
         checkpoint_every_steps: int | None = None,
         resume: bool = False,
+        grad_accum: int = 1,
     ):
         """``checkpoint_every_steps``: also checkpoint mid-epoch every N
         steps (stage-1 epochs over the full AK corpus decode every motion
         video — hours of work the reference loses entirely on a crash,
         train.py:167 saves per-epoch only). With ``resume=True`` training
         continues from the latest checkpoint, mid-epoch ones landing on the
-        exact next batch (deterministic epoch-seeded shuffle)."""
+        exact next batch (deterministic epoch-seeded shuffle).
+
+        ``grad_accum``: split each batch into N equal microbatches and
+        accumulate gradients on device before the single Adam update —
+        the ``batch_size`` loss surface at ``batch_size / N`` activation
+        memory (the student is dropout-free, so the trajectory matches
+        ``grad_accum=1`` up to f32 summation order). Use it to reach the
+        reference's batch 32 (train.py:183) on clips/backbones whose
+        activations outgrow HBM."""
         self.mesh = mesh if mesh is not None else create_mesh(
             MeshConfig(data_parallel, model_parallel)
         )
+        self.grad_accum = int(grad_accum)
+        if self.grad_accum > 1:
+            from vimoclip_tpu.parallel.mesh import DATA_AXIS as _DA
+
+            n_data = self.mesh.shape[_DA]
+            if batch_size % self.grad_accum:
+                raise ValueError(
+                    f"grad_accum={self.grad_accum} must divide "
+                    f"batch_size={batch_size} (equal microbatches keep the "
+                    "accumulated gradient identical to the full batch)"
+                )
+            if (batch_size // self.grad_accum) % n_data:
+                raise ValueError(
+                    f"batch_size/grad_accum = "
+                    f"{batch_size // self.grad_accum} microbatch rows must "
+                    f"divide the mesh's data axis ({n_data}) — lower "
+                    "grad_accum or raise batch_size"
+                )
         self.vision_config = vision_config or ClipVisionConfig.vit_b_32()
         self.model = StudentModel(
             vision_config=self.vision_config,
@@ -158,16 +185,67 @@ class StudentTrainer:
         return d_loss, c_loss, logits
 
     def _build_train_step(self):
+        accum = self.grad_accum
+
+        if accum <= 1:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state: TrainState, batch: dict):
+                def loss_fn(params):
+                    d_loss, c_loss, logits = self._losses(params, batch)
+                    return d_loss + c_loss, (d_loss, c_loss, logits)
+
+                (total, (d_loss, c_loss, logits)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                return state.apply_gradients(grads), total, d_loss, c_loss, logits
+
+            return step
+
+        # Gradient accumulation (see __init__ docstring): lax.scan carries
+        # one f32 params-sized gradient sum; activations (the dominant
+        # stage-1 memory — T frames through a ViT fwd+bwd) exist for ONE
+        # microbatch at a time. Equal microbatch sizes make the mean of
+        # means the full-batch mean, so dropout-free gradients match
+        # grad_accum=1 up to f32 summation order (tests/test_grad_accum.py).
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        base_spec = self.batch_sharding.spec
+
+        def split(x):
+            y = x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+            return jax.lax.with_sharding_constraint(
+                y, NamedSharding(mesh, P(None, *base_spec))
+            )
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: dict):
-            def loss_fn(params):
-                d_loss, c_loss, logits = self._losses(params, batch)
+            micro = jax.tree.map(split, batch)
+
+            def loss_fn(params, mb):
+                d_loss, c_loss, logits = self._losses(params, mb)
                 return d_loss + c_loss, (d_loss, c_loss, logits)
 
-            (total, (d_loss, c_loss, logits)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            return state.apply_gradients(grads), total, d_loss, c_loss, logits
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def body(carry, mb):
+                g_acc, sums = carry
+                (total, (d_loss, c_loss, logits)), grads = grad_fn(
+                    state.params, mb
+                )
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                return (g_acc, sums + jnp.stack([total, d_loss, c_loss])), logits
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, sums), logits = jax.lax.scan(
+                body, (zeros, jnp.zeros((3,), jnp.float32)), micro
+            )
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            means = sums / accum
+            logits = logits.reshape(-1, logits.shape[-1])
+            return (state.apply_gradients(grads), means[0], means[1],
+                    means[2], logits)
 
         return step
 

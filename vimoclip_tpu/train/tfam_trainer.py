@@ -116,6 +116,35 @@ class TFAMTrainer:
                     f"build it with create_mesh(MeshConfig({field}={value})) "
                     f"or drop the parallelism setting"
                 )
+        if tcfg.grad_accum > 1:
+            from vimoclip_tpu.parallel.mesh import DATA_AXIS as _DA
+
+            n_data = self.mesh.shape[_DA]
+            if tcfg.batch_size % tcfg.grad_accum:
+                raise ValueError(
+                    f"training.grad_accum={tcfg.grad_accum} must divide "
+                    f"batch_size={tcfg.batch_size} (equal microbatches keep "
+                    "the accumulated gradient identical to the full batch)"
+                )
+            if (tcfg.batch_size // tcfg.grad_accum) % n_data:
+                raise ValueError(
+                    f"batch_size/grad_accum = "
+                    f"{tcfg.batch_size // tcfg.grad_accum} microbatch rows "
+                    f"must divide the mesh's data axis ({n_data}) — lower "
+                    "grad_accum or raise batch_size"
+                )
+            if tcfg.pipeline_parallel > 1:
+                # the pipe path further splits each accumulation microbatch
+                # into GPipe microbatches, each of which shards over `data`
+                n_micro = tcfg.pipeline_microbatches or tcfg.pipeline_parallel
+                rows = tcfg.batch_size // tcfg.grad_accum
+                if rows % n_micro or (rows // n_micro) % n_data:
+                    raise ValueError(
+                        f"batch_size/grad_accum = {rows} rows must split "
+                        f"into {n_micro} GPipe microbatches that each "
+                        f"divide the data axis ({n_data}) — raise "
+                        "batch_size or lower grad_accum/microbatches"
+                    )
         self._dtype = (
             jnp.bfloat16 if config.training.half_precision else jnp.float32
         )
@@ -286,19 +315,82 @@ class TFAMTrainer:
 
     def _build_train_step(self):
         loss_fn = self.loss_fn
+        accum = self.config.training.grad_accum
+
+        if accum <= 1:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state: TrainState, batch: dict, dropout_key) -> tuple:
+                def compute_loss(params):
+                    logits = self._apply(
+                        params, batch, deterministic=False,
+                        rngs={"dropout": dropout_key},
+                    )
+                    return loss_fn(logits, batch["labels"]), logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    compute_loss, has_aux=True
+                )(state.params)
+                return state.apply_gradients(grads), loss, logits
+
+            return step
+
+        # Gradient accumulation (training.grad_accum: N): the loader batch
+        # splits into N equal microbatches, a lax.scan carries the f32
+        # gradient sum (one params-sized accumulator; activations live for
+        # ONE microbatch at a time), and a single apply_gradients consumes
+        # the mean — the batch_size loss surface at batch_size/N activation
+        # memory. Dropout draws a distinct key per microbatch (split from
+        # the step key, so mid-epoch resume stays deterministic); with
+        # dropout off, gradients equal the unaccumulated step up to f32
+        # summation order (tests/test_grad_accum.py pins both).
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        placement = (
+            self._batch_placement if callable(self._batch_placement)
+            else lambda _k, _v: self._batch_placement
+        )
+        mesh = self.mesh
+
+        def split(key, x):
+            # (B, ...) -> (accum, B/accum, ...), re-asserting the leaf's
+            # batch/time sharding one dim deeper so GSPMD keeps microbatches
+            # sharded instead of gathering the scanned operand.
+            y = x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+            spec = P(None, *placement(key, x).spec)
+            return jax.lax.with_sharding_constraint(
+                y, NamedSharding(mesh, spec)
+            )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: dict, dropout_key) -> tuple:
-            def compute_loss(params):
-                logits = self._apply(
-                    params, batch, deterministic=False, rngs={"dropout": dropout_key}
-                )
-                return loss_fn(logits, batch["labels"]), logits
+            micro = {k: split(k, v) for k, v in batch.items()}
+            keys = jax.random.split(dropout_key, accum)
 
-            (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
-                state.params
+            def compute_loss(params, mb, key):
+                logits = self._apply(
+                    params, mb, deterministic=False, rngs={"dropout": key}
+                )
+                return loss_fn(logits, mb["labels"]), logits
+
+            grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+
+            def body(carry, xs):
+                g_acc, loss_acc = carry
+                mb, key = xs
+                (loss, logits), grads = grad_fn(state.params, mb, key)
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                return (g_acc, loss_acc + loss), logits
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, loss_sum), logits = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)), (micro, keys)
             )
-            return state.apply_gradients(grads), loss, logits
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            # microbatch-order rows -> original batch order (the split was
+            # contiguous, so a plain reshape restores it)
+            logits = logits.reshape(-1, logits.shape[-1])
+            return state.apply_gradients(grads), loss_sum / accum, logits
 
         return step
 
