@@ -90,6 +90,12 @@ class TrainingConfig:
     # retain only the newest N step checkpoints (None = keep every epoch,
     # the reference behavior, train.py:167)
     keep_checkpoints: int | None = None
+    # Async checkpointing: save() returns once the state is snapshotted to
+    # host and Orbax serializes on its background thread while the next
+    # epoch trains (directories commit atomically; the trainer joins the
+    # writer after the last epoch and before any restore). Off = the
+    # reference-like synchronous save. YAML: `training.async_checkpoint`.
+    async_checkpoint: bool = False
 
 
 @dataclasses.dataclass

@@ -101,15 +101,30 @@ class CheckpointManager:
     periodic full states for resume (reference train.py:167 saves per-epoch).
     """
 
-    def __init__(self, directory: str, keep_steps: int | None = None):
+    def __init__(self, directory: str, keep_steps: int | None = None,
+                 async_save: bool = False):
         """``keep_steps``: retain only the newest N ``step_*`` checkpoints
         (None = keep all, the reference's per-epoch behavior,
-        train.py:167)."""
+        train.py:167).
+
+        ``async_save``: return from :meth:`save` as soon as Orbax has
+        snapshotted the arrays (device->host copy) and let serialization
+        run on Orbax's background thread while training continues — the
+        standard TPU idiom for hiding multi-second checkpoint writes of
+        big states behind compute. Ordering stays safe: Orbax finishes any
+        in-flight save before starting the next, commits each checkpoint
+        directory atomically (a crash mid-write leaves no restorable
+        ``step_N``), and :meth:`wait_until_finished` (called by the
+        trainers after the last epoch and before any restore) joins the
+        background work. Off by default: synchronous saves are the
+        reference-like behavior and what the bit-identical mid-epoch
+        resume tests pin by construction."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self.best_metric: float = -float("inf")
         self.keep_steps = keep_steps
+        self.async_save = async_save
 
     def _payload(self, state: TrainState) -> dict:
         return {
@@ -120,8 +135,12 @@ class CheckpointManager:
 
     def save(self, state: TrainState, name: str, extra: dict | None = None) -> None:
         path = os.path.join(self.directory, name)
+        # StandardCheckpointer is an AsyncCheckpointer: save() returns once
+        # the arrays are snapshotted to host and it has WAITED for any
+        # previous in-flight save, so back-to-back saves never interleave.
         self._ckptr.save(path, self._payload(state), force=True)
-        self._ckptr.wait_until_finished()
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
         # Scalar metadata (epoch, best metric) lives in a JSON sidecar — the
         # array tree stays a clean Orbax pytree. The running best metric is
         # stamped into EVERY checkpoint (not just ``best``) so that resuming
@@ -136,14 +155,22 @@ class CheckpointManager:
         if self.keep_steps is not None and name.startswith("step_"):
             self._prune_steps()
 
+    def _step_dirs(self) -> list[str]:
+        """Committed ``step_N`` directories only: an async save's
+        uncommitted tmp dir is named ``step_N.orbax-checkpoint-tmp-*`` and
+        must be neither pruned nor offered for resume."""
+        out = []
+        for d in os.listdir(self.directory):
+            tail = d[len("step_"):]
+            if (d.startswith("step_") and tail.isdigit()
+                    and os.path.isdir(os.path.join(self.directory, d))):
+                out.append(d)
+        return out
+
     def _prune_steps(self) -> None:
         import shutil
 
-        steps = sorted(
-            (d for d in os.listdir(self.directory) if d.startswith("step_")
-             and os.path.isdir(os.path.join(self.directory, d))),
-            key=lambda s: int(s.split("_")[1]),
-        )
+        steps = sorted(self._step_dirs(), key=lambda s: int(s.split("_")[1]))
         for stale in steps[: max(0, len(steps) - self.keep_steps)]:
             shutil.rmtree(os.path.join(self.directory, stale), ignore_errors=True)
 
@@ -158,7 +185,14 @@ class CheckpointManager:
             return True
         return False
 
+    def wait_until_finished(self) -> None:
+        """Join any in-flight async save (no-op when none is pending)."""
+        self._ckptr.wait_until_finished()
+
     def restore(self, state: TrainState, name: str = "best") -> tuple[TrainState, dict]:
+        # an in-flight async save of the very checkpoint being restored
+        # must land first
+        self._ckptr.wait_until_finished()
         path = os.path.join(self.directory, name)
         target = self._payload(state)
         try:
@@ -197,10 +231,7 @@ class CheckpointManager:
         return new_state, extra
 
     def latest_step_name(self) -> str | None:
-        steps = [
-            d for d in os.listdir(self.directory)
-            if d.startswith("step_") and os.path.isdir(os.path.join(self.directory, d))
-        ]
+        steps = self._step_dirs()
         if not steps:
             return None
         return max(steps, key=lambda s: int(s.split("_")[1]))

@@ -78,6 +78,7 @@ class StudentTrainer:
         checkpoint_every_steps: int | None = None,
         resume: bool = False,
         grad_accum: int = 1,
+        async_checkpoint: bool = False,
     ):
         """``checkpoint_every_steps``: also checkpoint mid-epoch every N
         steps (stage-1 epochs over the full AK corpus decode every motion
@@ -128,7 +129,8 @@ class StudentTrainer:
         self.class_loss = class_loss
         self.class_pos_weight = class_pos_weight
         self.keys = KeyChain(seed)
-        self.ckpt = CheckpointManager(checkpoint_dir)
+        self.ckpt = CheckpointManager(checkpoint_dir,
+                                      async_save=async_checkpoint)
         self.writer = SummaryWriter(log_dir) if log_dir else None
         self.batch_sharding = batch_sharding(self.mesh)
         self.batch_size = batch_size
@@ -373,5 +375,7 @@ class StudentTrainer:
                 epoch + 1, self.epochs, tr["total"], tr["distill"], tr["class"],
                 va["total"], tr["segments_per_sec"],
             )
+        # join any in-flight async checkpoint before declaring the run done
+        self.ckpt.wait_until_finished()
         logging.info("stage-1 training complete in %.1f min", (time.time() - start) / 60)
         return best_val

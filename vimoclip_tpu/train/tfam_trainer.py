@@ -205,7 +205,8 @@ class TFAMTrainer:
         self.loss_fn = _loss_fn_for(config)
         self.writer = SummaryWriter(log_dir)
         self.ckpt = CheckpointManager(
-            checkpoint_dir, keep_steps=config.training.keep_checkpoints
+            checkpoint_dir, keep_steps=config.training.keep_checkpoints,
+            async_save=config.training.async_checkpoint,
         )
         self.batch_sharding = batch_sharding(self.mesh)
         # Sequence-parallel runs place batch inputs TIME-SHARDED over `seq`
@@ -495,6 +496,8 @@ class TFAMTrainer:
                 epoch + 1, tcfg.epochs, train_loss, self.metric_name, train_map,
                 val_loss, self.metric_name, val_map, lr,
             )
+        # join any in-flight async checkpoint before declaring the run done
+        self.ckpt.wait_until_finished()
         self.writer.close()
         logging.info("training complete in %.2f minutes", (time.time() - start) / 60)
         return best
