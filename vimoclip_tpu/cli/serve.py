@@ -47,6 +47,7 @@ import dataclasses
 import json
 import logging
 import queue
+import signal
 import threading
 import time
 
@@ -72,6 +73,16 @@ class _PendingVideo:
 
 
 _SHUTDOWN = object()
+
+
+class Overloaded(RuntimeError):
+    """Backlog exceeds the batcher's bound — shed load instead of queueing
+    unboundedly (HTTP answers 503 + Retry-After so clients back off)."""
+
+
+class RequestTimeout(RuntimeError):
+    """A request waited longer than the per-request deadline (HTTP 504).
+    The work may still complete device-side; only the WAIT is abandoned."""
 
 
 class DynamicBatcher:
@@ -106,18 +117,26 @@ class DynamicBatcher:
     """
 
     def __init__(self, predictor, max_batch: int = 8,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, max_pending: int = 256,
+                 request_timeout_s: float | None = None):
         self.predictor = predictor
         self.max_batch = max(1, int(max_batch))
         self.max_wait = max(0.0, float(max_wait_ms)) / 1e3
+        self.max_pending = max(1, int(max_pending))
+        self.request_timeout = (None if request_timeout_s is None
+                                else max(0.0, float(request_timeout_s)))
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._pending = 0  # videos enqueued but not yet done (backpressure)
+        self._pending_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._stats = {
             "requests": 0,          # videos submitted
             "predictor_calls": 0,   # device-side calls (pooled or serial)
             "pooled_videos": 0,     # videos served through pooled calls
             "max_coalesced": 0,     # largest pooled group so far
+            "shed": 0,              # videos rejected by backpressure (503s)
+            "timeouts": 0,          # requests abandoned past the deadline
         }
         self._worker = threading.Thread(
             target=self._run, name="vimo-batcher", daemon=True
@@ -132,7 +151,11 @@ class DynamicBatcher:
 
         Raises the first per-video error (a request with a bad path fails
         whole, exactly like the direct predict_batch route — but co-batched
-        OTHER requests are unaffected)."""
+        OTHER requests are unaffected). Raises ``Overloaded`` when the
+        backlog bound is hit (load shedding, HTTP 503) and
+        ``RequestTimeout`` past the per-request deadline (HTTP 504; the
+        enqueued work still completes device-side, only the wait is
+        abandoned)."""
         items = [
             _PendingVideo(v, m, top_k, max_frames)
             for v, m in zip(videos, motions)
@@ -145,13 +168,39 @@ class DynamicBatcher:
             raise RuntimeError(
                 "batcher is shut down or its worker died; restart the daemon"
             )
+        with self._pending_lock:
+            # backpressure: an unbounded queue under sustained overload
+            # just grows until OOM while every client times out anyway —
+            # shed load deterministically instead
+            if self._pending + len(items) > self.max_pending:
+                with self._stats_lock:
+                    self._stats["shed"] += len(items)
+                raise Overloaded(
+                    f"backlog full ({self._pending} pending videos, "
+                    f"limit {self.max_pending}); retry later"
+                )
+            self._pending += len(items)
         self._q.put(items)
+        deadline = (None if self.request_timeout is None
+                    else time.monotonic() + self.request_timeout)
         for item in items:
             # bounded waits with a liveness check: if the worker dies from
             # a non-Exception (MemoryError, interpreter teardown), handler
             # threads must error out instead of hanging their HTTP clients
             # forever on a done event nobody will ever set
-            while not item.done.wait(timeout=1.0):
+            while True:
+                remaining = (None if deadline is None
+                             else deadline - time.monotonic())
+                if remaining is not None and remaining <= 0:
+                    with self._stats_lock:
+                        self._stats["timeouts"] += 1
+                    raise RequestTimeout(
+                        f"request exceeded {self.request_timeout:.1f}s "
+                        "deadline waiting for the batcher"
+                    )
+                wait = (1.0 if remaining is None else min(1.0, remaining))
+                if item.done.wait(timeout=wait):
+                    break
                 if not self._worker.is_alive() and not item.done.is_set():
                     raise RuntimeError(
                         "batcher worker died mid-request; restart the daemon"
@@ -166,16 +215,46 @@ class DynamicBatcher:
             return dict(self._stats)
 
     def shutdown(self) -> None:
+        """Stop accepting, let the worker finish everything already queued
+        (the sentinel is FIFO-ordered behind in-flight requests), then fail
+        any stragglers that raced past the ``_closed`` check."""
         self._closed = True  # reject new requests before the sentinel lands
         self._q.put(_SHUTDOWN)
         self._worker.join(timeout=30)
+        # a handler that passed the _closed check concurrently may have
+        # enqueued BEHIND the sentinel after the worker's own drain ran —
+        # fail those deterministically too instead of leaving their
+        # handler threads to the 1s liveness poll
+        self._drain_failed()
 
     # -- worker side ---------------------------------------------------------
+
+    def _finish(self, item: _PendingVideo) -> None:
+        with self._pending_lock:
+            self._pending -= 1
+        item.done.set()
+
+    def _drain_failed(self) -> None:
+        """Fail every still-queued item deterministically (shutdown path)."""
+        while True:
+            try:
+                group = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if group is _SHUTDOWN:
+                continue
+            for item in group:
+                if not item.done.is_set():
+                    item.error = RuntimeError(
+                        "batcher shut down before this request ran"
+                    )
+                    self._finish(item)
 
     def _run(self) -> None:
         while True:
             first = self._q.get()
             if first is _SHUTDOWN:
+                self._drain_failed()
                 return
             batch = list(first)
             deadline = time.monotonic() + self.max_wait
@@ -206,8 +285,9 @@ class DynamicBatcher:
                         item.error = item.error or RuntimeError(
                             "batcher worker failed; see daemon log"
                         )
-                        item.done.set()
+                        self._finish(item)
             if stop:
+                self._drain_failed()
                 return
 
     def _serial(self, item: _PendingVideo) -> None:
@@ -221,7 +301,7 @@ class DynamicBatcher:
         finally:
             with self._stats_lock:
                 self._stats["predictor_calls"] += 1
-            item.done.set()
+            self._finish(item)
 
     def _process(self, batch: list[_PendingVideo]) -> None:
         with self._stats_lock:
@@ -250,6 +330,18 @@ class DynamicBatcher:
                 for item in items:
                     self._serial(item)
                 continue
+            if len(preds) != len(items):
+                # a short prediction list would leave the tail's done
+                # events forever unset (handler threads would spin on the
+                # liveness poll against an alive-but-idle worker) — retry
+                # serially so every item terminates deterministically
+                logging.error(
+                    "pooled call returned %d predictions for %d videos; "
+                    "retrying serially", len(preds), len(items),
+                )
+                for item in items:
+                    self._serial(item)
+                continue
             with self._stats_lock:
                 self._stats["predictor_calls"] += 1
                 self._stats["pooled_videos"] += len(items)
@@ -260,7 +352,7 @@ class DynamicBatcher:
                 item.result = dataclasses.replace(
                     pred, top_classes=pred.top_classes[: item.top_k]
                 )
-                item.done.set()
+                self._finish(item)
 
 
 
@@ -292,9 +384,12 @@ def handle_request(predictor, req: dict, default_top_k: int = 5,
         # per-video resolution mirrors the single-video route: an explicit
         # entry wins, otherwise the --motion-videos-dir filename match —
         # a partial dict must not silently drop the dir fallback for the
-        # videos it omits
+        # videos it omits. "Present with null" differs from "absent": an
+        # explicit null FORCES the on-device frame-diff path even when the
+        # dir has a filename match.
         motions = [
-            explicit.get(v) or find_motion_match(motion_videos_dir, v)
+            explicit[v] if v in explicit
+            else find_motion_match(motion_videos_dir, v)
             for v in videos
         ]
         if batcher is not None:
@@ -368,11 +463,14 @@ def make_http_server(predictor, host: str = "127.0.0.1", port: int = 0,
     lock = threading.Lock()  # one device — serialise predictor access
 
     class Handler(BaseHTTPRequestHandler):
-        def _reply(self, code: int, payload: dict) -> None:
+        def _reply(self, code: int, payload: dict,
+                   retry_after: float | None = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if retry_after is not None:
+                self.send_header("Retry-After", str(int(max(1, retry_after))))
             self.end_headers()
             self.wfile.write(body)
 
@@ -404,6 +502,12 @@ def make_http_server(predictor, host: str = "127.0.0.1", port: int = 0,
                             default_max_frames=default_max_frames,
                         )
                 self._reply(200, resp)
+            except Overloaded as e:
+                # load shedding: tell clients to back off instead of
+                # letting the backlog (and their latency) grow unboundedly
+                self._reply(503, {"error": str(e)}, retry_after=1.0)
+            except RequestTimeout as e:
+                self._reply(504, {"error": str(e)})
             except (json.JSONDecodeError, KeyError, TypeError,
                     ValueError, OSError) as e:
                 # malformed request / bad path / unreadable video (OSError:
@@ -422,6 +526,33 @@ def make_http_server(predictor, host: str = "127.0.0.1", port: int = 0,
             logging.info("http: " + fmt, *fmt_args)
 
     return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_http(server, batcher: DynamicBatcher | None = None,
+               install_signal_handlers: bool = True) -> None:
+    """Run the HTTP server until shutdown, with a graceful SIGTERM/SIGINT
+    drain: stop the accept loop, let in-flight handler threads finish their
+    responses (non-daemon threads — ``server_close`` JOINS them instead of
+    abandoning them at interpreter exit), serve everything the batcher
+    already queued, then return so the process exits 0 — the preemption
+    story a TPU-fleet daemon needs. The signal handler only NUDGES
+    ``server.shutdown()`` from a side thread because calling it from the
+    serving thread deadlocks BaseServer's event wait."""
+    server.daemon_threads = False
+    if install_signal_handlers:
+        def _drain(signum, frame):
+            logging.info("signal %d: draining (no new connections)", signum)
+            threading.Thread(target=server.shutdown, daemon=True).start()
+
+        signal.signal(signal.SIGTERM, _drain)
+        signal.signal(signal.SIGINT, _drain)
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+        if batcher is not None:
+            batcher.shutdown()
+        logging.info("drained; exiting")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -462,6 +593,14 @@ def main(argv: list[str] | None = None) -> None:
                         "pile on (default 10 ms; 0 disables the wait — "
                         "already-queued requests still coalesce, and a "
                         "multi-video request always pools whole)")
+    p.add_argument("--max-pending", type=int, default=256,
+                   help="backpressure bound: reject requests with 503 + "
+                        "Retry-After once this many videos are queued but "
+                        "not yet served (default 256)")
+    p.add_argument("--request-timeout-s", type=float, default=None,
+                   help="per-request deadline: a request still waiting on "
+                        "the batcher past this many seconds answers 504 "
+                        "(default: no deadline)")
     args = p.parse_args(argv)
     validate_model_args(p, args)
     if args.verify_fidelity and not args.probe_video:
@@ -488,7 +627,9 @@ def main(argv: list[str] | None = None) -> None:
         batcher = None
         if not args.quirk_batch_pooling:
             batcher = DynamicBatcher(predictor, args.max_batch,
-                                     args.batch_wait_ms)
+                                     args.batch_wait_ms,
+                                     max_pending=args.max_pending,
+                                     request_timeout_s=args.request_timeout_s)
         else:
             # batch-max pooling makes outputs depend on co-batched clips —
             # coalescing strangers' requests would be nondeterministic
@@ -500,14 +641,11 @@ def main(argv: list[str] | None = None) -> None:
             args.motion_videos_dir, batcher=batcher,
             default_max_frames=args.max_frames,
         )
+
         logging.info("listening on %s:%d (dynamic batching: %s)",
                      *server.server_address,
                      "on" if batcher else "off")
-        try:
-            server.serve_forever()
-        finally:
-            if batcher is not None:
-                batcher.shutdown()
+        serve_http(server, batcher)
     else:
         import sys
 
