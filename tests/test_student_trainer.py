@@ -132,19 +132,29 @@ def test_mid_epoch_resume_exactly_matches_uninterrupted(corpus, tmp_path, mesh8)
         np.testing.assert_array_equal(pa, pc)
 
 
-def test_evaluate_rejects_empty_val_loader(corpus, tmp_path, mesh8):
-    """batch_size > val segments with drop_last yields ZERO batches — that
-    must fail pointedly, not report val loss 0.0 (which save_if_best would
-    record as an unbeatable 'best')."""
+def test_empty_val_loader_rejected_at_construction(corpus, tmp_path, mesh8):
+    """batch_size > val segments with drop_last yields ZERO val batches —
+    that misconfiguration is fully known at construction time, so the
+    trainer must fail BEFORE a training epoch is spent on it (ADVICE r4),
+    not report val loss 0.0 (which save_if_best would record as an
+    unbeatable 'best'). evaluate() keeps its own check as a backstop."""
     h5, vdir = corpus
     ds = SegmentDataset(h5, vdir, sequence_length=6)
-    trainer = StudentTrainer(
-        ds, ds, checkpoint_dir=str(tmp_path / "ckpt"),
-        vision_config=CFG, num_classes=C, lr=3e-3, batch_size=64,
-        num_workers=1, epochs=1, half_precision=False, mesh=mesh8,
-        data_parallel=4, model_parallel=2,
-    )
-    assert len(trainer.val_loader) == 0
+
+    def make(batch_size):
+        return StudentTrainer(
+            ds, ds, checkpoint_dir=str(tmp_path / "ckpt"),
+            vision_config=CFG, num_classes=C, lr=3e-3, batch_size=batch_size,
+            num_workers=1, epochs=1, half_precision=False, mesh=mesh8,
+            data_parallel=4, model_parallel=2,
+        )
+
+    with pytest.raises(ValueError, match="batch_size"):
+        make(64)
+
+    # the evaluate() backstop still fires if the loader empties later
+    trainer = make(8)
+    trainer.val_loader = []
     with pytest.raises(ValueError, match="0 batches"):
         trainer.evaluate()
 

@@ -372,6 +372,39 @@ def test_parallelism_yaml_block_validation(tmp_path, caplog):
     assert "unknown keys" in caplog.text and "sequence" in caplog.text
 
 
+def test_seq_parallel_bucket_divisibility_validated_at_construction(
+    config, tmp_path,
+):
+    """seq=N with an incompatible length_bucket / max_seq_len fails at
+    TFAMTrainer construction with a pointed error — NOT via the silent
+    batch-only placement fallback plus the ring's mid-epoch Tq/Tk error
+    (VERDICT r4 #6)."""
+    import copy
+
+    cfg = copy.deepcopy(config)
+    cfg.training.seq_parallel = 2
+    cfg.data.length_bucket = 7  # 7 % 2 != 0
+    with pytest.raises(ValueError, match="length_bucket"):
+        TFAMTrainer(cfg, log_dir=str(tmp_path / "l"),
+                    checkpoint_dir=str(tmp_path / "c"))
+
+    cfg = copy.deepcopy(config)
+    cfg.training.seq_parallel = 2
+    cfg.data.length_bucket = 8
+    cfg.data.max_seq_len = 9  # capped batches pad to exactly 9
+    with pytest.raises(ValueError, match="max_seq_len"):
+        TFAMTrainer(cfg, log_dir=str(tmp_path / "l2"),
+                    checkpoint_dir=str(tmp_path / "c2"))
+
+    # compatible settings still construct (and keep the time-sharded path)
+    cfg = copy.deepcopy(config)
+    cfg.training.seq_parallel = 2
+    cfg.data.max_seq_len = 8
+    trainer = TFAMTrainer(cfg, log_dir=str(tmp_path / "l3"),
+                          checkpoint_dir=str(tmp_path / "c3"))
+    assert dict(trainer.mesh.shape)["seq"] == 2
+
+
 def _params_np(trainer):
     return jax.tree.map(np.asarray, trainer.state.params)
 

@@ -135,6 +135,15 @@ class StudentTrainer:
         self.batch_sharding = batch_sharding(self.mesh)
         self.batch_size = batch_size
         self.val_ds = val_dataset
+        if len(val_dataset) < batch_size:
+            # known at construction: with drop_last the val loader would
+            # yield 0 batches, discovered only AFTER a full training epoch
+            # (evaluate() keeps the same check as a backstop)
+            raise ValueError(
+                f"validation set has {len(val_dataset)} segments < "
+                f"batch_size {batch_size}: the drop_last val loader would "
+                "produce 0 batches — lower batch_size or add validation data"
+            )
 
         self.train_loader = BatchLoader(
             train_dataset, batch_size, collate_segments, shuffle=True,
@@ -147,6 +156,7 @@ class StudentTrainer:
             drop_last=True, num_workers=num_workers,
         )
 
+        self._preempt = None  # set by train() while a PreemptionGuard is live
         params = self._init_params(pretrained_params, train_dataset)
         tx = make_adam(lr, grad_clip=grad_clip)
         self.state = commit_replicated(TrainState.create(params, tx), self.mesh)
@@ -285,6 +295,18 @@ class StudentTrainer:
             if self.writer:
                 last_logits, last_labels = logits, batch["labels"]
             timer.tick(batch["labels"].shape[0])
+            if self._preempt is not None and self._preempt.requested:
+                # preemption (SIGTERM/SIGINT): cut a checkpoint through the
+                # tested mid-epoch resume mechanism and stop cleanly; at an
+                # exact epoch boundary save epoch-end bookkeeping instead
+                # (resume then starts the NEXT epoch)
+                done = skip_batches + n
+                extra = {"epoch": epoch}
+                if done < len(self.train_loader):
+                    extra["batch_in_epoch"] = done
+                self.ckpt.save(self.state, f"step_{int(self.state.step)}",
+                               extra=extra)
+                break
             if (self.checkpoint_every_steps
                     and n % self.checkpoint_every_steps == 0
                     and skip_batches + n < len(self.train_loader)):
@@ -354,9 +376,30 @@ class StudentTrainer:
             -self.ckpt.best_metric
             if self.ckpt.best_metric != -float("inf") else float("inf")
         )
+        from vimoclip_tpu.utils.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            self._preempt = guard
+            try:
+                return self._train_epochs(start_epoch, skip, best_val, start)
+            finally:
+                self._preempt = None
+
+    def _train_epochs(self, start_epoch: int, skip: int, best_val: float,
+                      start: float) -> float:
         for epoch in range(start_epoch, self.epochs):
             tr = self.train_epoch(epoch, skip_batches=skip)
             skip = 0
+            if self._preempt is not None and self._preempt.requested:
+                # train_epoch already saved the resume checkpoint — skip
+                # eval/best bookkeeping (a preemption deadline is ticking)
+                # and return so the process can exit 0
+                self.ckpt.wait_until_finished()
+                logging.info(
+                    "preempted during epoch %d: checkpoint saved; rerun "
+                    "with resume=True to continue bit-identically", epoch,
+                )
+                return best_val
             va = self.evaluate()
             # best-by-val-total-loss (train.py:170-175) — flip sign because
             # CheckpointManager tracks highest-metric

@@ -145,6 +145,28 @@ class TFAMTrainer:
                         f"divide the data axis ({n_data}) — raise "
                         "batch_size or lower grad_accum/microbatches"
                     )
+        if tcfg.seq_parallel > 1:
+            # every collated batch pads T up to a length_bucket multiple
+            # (capped at max_seq_len), and the ring shards T over the seq
+            # axis — validate divisibility HERE instead of the silent
+            # batch-only placement fallback + the ring's mid-epoch error
+            # (parallel/sequence.py Tq/Tk check)
+            n_seq = tcfg.seq_parallel
+            bucket = config.data.length_bucket
+            if not bucket or bucket % n_seq:
+                raise ValueError(
+                    f"training.parallelism: seq={n_seq} needs "
+                    f"data.length_bucket to be a multiple of it (got "
+                    f"{bucket!r}) — padded sequence lengths must shard "
+                    "evenly over the seq axis"
+                )
+            cap = config.data.max_seq_len
+            if cap is not None and cap % n_seq:
+                raise ValueError(
+                    f"training.parallelism: seq={n_seq} needs "
+                    f"data.max_seq_len ({cap}) divisible by it — capped "
+                    "batches pad to exactly max_seq_len"
+                )
         self._dtype = (
             jnp.bfloat16 if config.training.half_precision else jnp.float32
         )
@@ -259,6 +281,7 @@ class TFAMTrainer:
             drop_last=True, num_workers=tcfg.num_workers,
         )
 
+        self._preempt = None  # set by train() while a PreemptionGuard is live
         self.state = self._init_state()
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -424,6 +447,17 @@ class TFAMTrainer:
             last_logits, last_labels = logits, batch["labels"]
             _metric_update(self.metric, logits, batch["labels"])
             timer.tick(batch["labels"].shape[0])
+            if self._preempt is not None and self._preempt.requested:
+                # preemption (SIGTERM/SIGINT): cut a checkpoint through the
+                # tested mid-epoch resume mechanism and stop cleanly; at an
+                # exact epoch boundary save epoch-end bookkeeping instead
+                done = skip_batches + n
+                extra = {"epoch": epoch}
+                if done < len(self.train_loader):
+                    extra["batch_in_epoch"] = done
+                self.ckpt.save(self.state, f"step_{int(self.state.step)}",
+                               extra=extra)
+                break
             if (every and n % every == 0
                     and skip_batches + n < len(self.train_loader)):
                 self.ckpt.save(
@@ -475,9 +509,32 @@ class TFAMTrainer:
                              latest, start_epoch, skip)
         start = time.time()
         best = self.ckpt.best_metric
+        from vimoclip_tpu.utils.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            self._preempt = guard
+            try:
+                return self._train_epochs(start_epoch, skip, best, start)
+            finally:
+                self._preempt = None
+
+    def _train_epochs(self, start_epoch: int, skip: int, best: float,
+                      start: float) -> float:
+        tcfg = self.config.training
         for epoch in range(start_epoch, tcfg.epochs):
             train_loss, train_map = self.train_epoch(epoch, skip_batches=skip)
             skip = 0
+            if self._preempt is not None and self._preempt.requested:
+                # train_epoch already saved the resume checkpoint — skip
+                # eval/best bookkeeping (a preemption deadline is ticking)
+                self.ckpt.wait_until_finished()
+                self.writer.close()
+                logging.info(
+                    "preempted during epoch %d: checkpoint saved; rerun "
+                    "with training.resume to continue bit-identically",
+                    epoch,
+                )
+                return best
             val_loss, val_map = self.validate(epoch)
             if self.ckpt.save_if_best(self.state, val_map, extra={"epoch": epoch}):
                 logging.info("new best model at epoch %d (%s=%.4f)",
