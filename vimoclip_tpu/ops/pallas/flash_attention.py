@@ -111,69 +111,80 @@ def _keep_mask(seed_ref, b, h, qi, ki, nk, shape, threshold):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
-                scale, dropout_rate, nk, with_lse):
+                scale, dropout_rate, nk, with_lse, hb):
     # with_lse=False is the inference-only variant (primal _flash_core
     # path): no (B, H, 8, Tq) lse ever allocated or written — serving/eval
     # forwards pay for exactly the output they use. The (m, l, acc) VMEM
     # scratch only exists for the online-softmax multi-K-tile case; the
     # nk==1 plain-softmax branch gets none allocated at all.
+    #
+    # ``hb`` heads are processed per program instance (PERF.md ledger 18):
+    # with d_head=64 the score/PV contractions only half-fill the 128-wide
+    # MXU, so a single head's chain serialises MXU and VPU work. Two
+    # independent per-head chains in one body let Mosaic's scheduler
+    # overlap head j's softmax/dropout (VPU) under head j+1's matmuls
+    # (MXU). Per-head numerics are IDENTICAL to hb=1 — same tiles, same
+    # order, same dropout streams (seeded by the row/head's own seed).
     lse_ref = rest[0] if with_lse else None
     scr = rest[1:] if with_lse else rest
     m_scr, l_scr, acc_scr = scr if nk > 1 else (None, None, None)
-    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+    b, hi, qi, ki = (pl.program_id(i) for i in range(4))
 
-    q = q_ref[0, 0]                                   # (bq, d)
-    k = k_ref[0, 0]                                   # (bk, d)
-    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
-    s = s + bias_ref[0]                               # (bq, bk) f32
-    v = v_ref[0, 0]
+    for j in range(hb):
+        h = hi * hb + j
+        q = q_ref[0, j]                               # (bq, d)
+        k = k_ref[0, j]                               # (bk, d)
+        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        s = s + bias_ref[0]                           # (bq, bk) f32
+        v = v_ref[0, j]
 
-    if nk == 1:
-        # single K tile: plain softmax, no online bookkeeping/scratch reads
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        if nk == 1:
+            # single K tile: plain softmax, no online bookkeeping/scratch
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            if dropout_rate > 0.0:
+                keep = _keep_mask(seed_ref, b, h, qi, 0, nk, p.shape,
+                                  _keep_threshold(dropout_rate))
+                p = jnp.where(keep, p, 0.0)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_ref[0, j] = (o / (l * (1.0 - dropout_rate))).astype(o_ref.dtype)
+            if lse_ref is not None:
+                # row stats live as (8, bq) tiles (TPU blocks need a sublane
+                # dim divisible by 8); all 8 sublanes carry the same row.
+                lse_ref[0, j] = jnp.broadcast_to((m + jnp.log(l)).T,
+                                                 lse_ref.shape[2:])
+            continue
+
+        @pl.when(ki == 0)
+        def _(j=j):
+            m_scr[j] = jnp.full_like(m_scr[j], _NEG_INF)
+            l_scr[j] = jnp.zeros_like(l_scr[j])
+            acc_scr[j] = jnp.zeros_like(acc_scr[j])
+
+        m_prev = m_scr[j]                             # (bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                        # (bq, bk) f32
+        l_scr[j] = l_scr[j] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[j] = m_new
         if dropout_rate > 0.0:
-            keep = _keep_mask(seed_ref, b, h, qi, 0, nk, p.shape,
+            keep = _keep_mask(seed_ref, b, h, qi, ki, nk, p.shape,
                               _keep_threshold(dropout_rate))
             p = jnp.where(keep, p, 0.0)
-        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, 0] = (o / (l * (1.0 - dropout_rate))).astype(o_ref.dtype)
-        if lse_ref is not None:
-            # row stats live as (8, bq) tiles (TPU blocks need a sublane
-            # dim divisible by 8); all 8 sublanes carry the same row.
-            lse_ref[0, 0] = jnp.broadcast_to((m + jnp.log(l)).T,
-                                             lse_ref.shape[2:])
-        return
+        acc_scr[j] = acc_scr[j] * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
 
-    @pl.when(ki == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    m_prev = m_scr[:]                                 # (bq, 1)
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)                            # (bq, bk) f32
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_scr[:] = m_new
-    if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, b, h, qi, ki, nk, p.shape,
-                          _keep_threshold(dropout_rate))
-        p = jnp.where(keep, p, 0.0)
-    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
-
-    @pl.when(ki == nk - 1)
-    def _():
-        denom = l_scr[:] * (1.0 - dropout_rate)
-        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
-        if lse_ref is not None:
-            lse_ref[0, 0] = jnp.broadcast_to(
-                (m_scr[:] + jnp.log(l_scr[:])).T, lse_ref.shape[2:]
-            )
+        @pl.when(ki == nk - 1)
+        def _(j=j):
+            denom = l_scr[j] * (1.0 - dropout_rate)
+            o_ref[0, j] = (acc_scr[j] / denom).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[0, j] = jnp.broadcast_to(
+                    (m_scr[j] + jnp.log(l_scr[j])).T, lse_ref.shape[2:]
+                )
 
 
 # ---------------------------------------------------------------------------
@@ -201,110 +212,117 @@ def _recompute_probs(seed_ref, q, k, bias, lse, b, h, qi, ki, *,
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-               delta_ref, dq_ref, *, scale, dropout_rate, nk):
-    b, h, qi, ki = (pl.program_id(i) for i in range(4))
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]                                # (bq, d)
-    p, keep = _recompute_probs(
-        seed_ref, q, k, bias_ref[0], lse_ref[0, 0, 0], b, h, qi, ki,
-        scale=scale, dropout_rate=dropout_rate, nk=nk,
-    )
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    if keep is not None:
-        dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
-    ds = p * (dp - delta_ref[0, 0, 0][:, None])      # (bq, bk) f32
-    dq_part = (jnp.dot(ds.astype(k.dtype), k,
-                       preferred_element_type=jnp.float32)
-               * scale).astype(dq_ref.dtype)
+               delta_ref, dq_ref, *, scale, dropout_rate, nk, hb):
+    b, hi, qi, ki = (pl.program_id(i) for i in range(4))
+    for j in range(hb):
+        h = hi * hb + j
+        q = q_ref[0, j]
+        k = k_ref[0, j]
+        v = v_ref[0, j]
+        do = do_ref[0, j]                            # (bq, d)
+        p, keep = _recompute_probs(
+            seed_ref, q, k, bias_ref[0], lse_ref[0, j, 0], b, h, qi, ki,
+            scale=scale, dropout_rate=dropout_rate, nk=nk,
+        )
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+        ds = p * (dp - delta_ref[0, j, 0][:, None])  # (bq, bk) f32
+        dq_part = (jnp.dot(ds.astype(k.dtype), k,
+                           preferred_element_type=jnp.float32)
+                   * scale).astype(dq_ref.dtype)
 
-    @pl.when(ki == 0)
-    def _():
-        dq_ref[0, 0] = dq_part
+        @pl.when(ki == 0)
+        def _(j=j, dq_part=dq_part):
+            dq_ref[0, j] = dq_part
 
-    @pl.when(ki > 0)
-    def _():
-        dq_ref[0, 0] = dq_ref[0, 0] + dq_part
+        @pl.when(ki > 0)
+        def _(j=j, dq_part=dq_part):
+            dq_ref[0, j] = dq_ref[0, j] + dq_part
 
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                delta_ref, dk_ref, dv_ref, *, scale, dropout_rate, nk):
-    # NOTE the grid here is (B, H, nK, nQ): qi is the INNERMOST dimension so
-    # dk/dv output blocks stay resident while q tiles sweep past.
-    b, h, ki, qi = (pl.program_id(i) for i in range(4))
-    q = q_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    p, keep = _recompute_probs(
-        seed_ref, q, k_ref[0, 0], bias_ref[0], lse_ref[0, 0, 0], b, h, qi, ki,
-        scale=scale, dropout_rate=dropout_rate, nk=nk,
-    )
-    if keep is not None:
-        pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
-    else:
-        pd = p
-    dv_part = jnp.dot(pd.astype(do.dtype).T, do,
-                      preferred_element_type=jnp.float32)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    if keep is not None:
-        dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
-    ds = p * (dp - delta_ref[0, 0, 0][:, None])
-    dk_part = jnp.dot(ds.astype(q.dtype).T, q,
-                      preferred_element_type=jnp.float32) * scale
+                delta_ref, dk_ref, dv_ref, *, scale, dropout_rate, nk, hb):
+    # NOTE the grid here is (B, H/hb, nK, nQ): qi is the INNERMOST dimension
+    # so dk/dv output blocks stay resident while q tiles sweep past.
+    b, hi, ki, qi = (pl.program_id(i) for i in range(4))
+    for j in range(hb):
+        h = hi * hb + j
+        q = q_ref[0, j]
+        v = v_ref[0, j]
+        do = do_ref[0, j]
+        p, keep = _recompute_probs(
+            seed_ref, q, k_ref[0, j], bias_ref[0], lse_ref[0, j, 0], b, h,
+            qi, ki, scale=scale, dropout_rate=dropout_rate, nk=nk,
+        )
+        if keep is not None:
+            pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
+        else:
+            pd = p
+        dv_part = jnp.dot(pd.astype(do.dtype).T, do,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+        ds = p * (dp - delta_ref[0, j, 0][:, None])
+        dk_part = jnp.dot(ds.astype(q.dtype).T, q,
+                          preferred_element_type=jnp.float32) * scale
 
-    @pl.when(qi == 0)
-    def _():
-        dk_ref[0, 0] = dk_part
-        dv_ref[0, 0] = dv_part
+        @pl.when(qi == 0)
+        def _(j=j, dk_part=dk_part, dv_part=dv_part):
+            dk_ref[0, j] = dk_part
+            dv_ref[0, j] = dv_part
 
-    @pl.when(qi > 0)
-    def _():
-        dk_ref[0, 0] = dk_ref[0, 0] + dk_part
-        dv_ref[0, 0] = dv_ref[0, 0] + dv_part
+        @pl.when(qi > 0)
+        def _(j=j, dk_part=dk_part, dv_part=dv_part):
+            dk_ref[0, j] = dk_ref[0, j] + dk_part
+            dv_ref[0, j] = dv_ref[0, j] + dv_part
 
 
 def _dqkv_single_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                         lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, *,
-                        scale, dropout_rate, nk):
+                        scale, dropout_rate, nk, hb):
     """Combined backward for nk == 1 (whole K in one tile — the TFAM train
     shapes): one score recompute yields dq, dk AND dv, halving backward
     recompute FLOPs and kernel dispatches vs the two-sweep path.
-    Grid (B, H, nQ): dq written once per qi; dk/dv accumulate across qi."""
-    b, h, qi = (pl.program_id(i) for i in range(3))
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    p, keep = _recompute_probs(
-        seed_ref, q, k, bias_ref[0], lse_ref[0, 0, 0], b, h, qi, 0,
-        scale=scale, dropout_rate=dropout_rate, nk=nk,
-    )
-    if keep is not None:
-        pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
-    else:
-        pd = p
-    dv_part = jnp.dot(pd.astype(do.dtype).T, do,
-                      preferred_element_type=jnp.float32)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    if keep is not None:
-        dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
-    ds = p * (dp - delta_ref[0, 0, 0][:, None])
-    dq_ref[0, 0] = (jnp.dot(ds.astype(k.dtype), k,
-                            preferred_element_type=jnp.float32)
-                    * scale).astype(dq_ref.dtype)
-    dk_part = jnp.dot(ds.astype(q.dtype).T, q,
-                      preferred_element_type=jnp.float32) * scale
+    Grid (B, H/hb, nQ): dq written once per qi; dk/dv accumulate across
+    qi; ``hb`` heads per program (see _fwd_kernel)."""
+    b, hi, qi = (pl.program_id(i) for i in range(3))
+    for j in range(hb):
+        h = hi * hb + j
+        q = q_ref[0, j]
+        k = k_ref[0, j]
+        v = v_ref[0, j]
+        do = do_ref[0, j]
+        p, keep = _recompute_probs(
+            seed_ref, q, k, bias_ref[0], lse_ref[0, j, 0], b, h, qi, 0,
+            scale=scale, dropout_rate=dropout_rate, nk=nk,
+        )
+        if keep is not None:
+            pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
+        else:
+            pd = p
+        dv_part = jnp.dot(pd.astype(do.dtype).T, do,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+        ds = p * (dp - delta_ref[0, j, 0][:, None])
+        dq_ref[0, j] = (jnp.dot(ds.astype(k.dtype), k,
+                                preferred_element_type=jnp.float32)
+                        * scale).astype(dq_ref.dtype)
+        dk_part = jnp.dot(ds.astype(q.dtype).T, q,
+                          preferred_element_type=jnp.float32) * scale
 
-    @pl.when(qi == 0)
-    def _():
-        dk_ref[0, 0] = dk_part
-        dv_ref[0, 0] = dv_part
+        @pl.when(qi == 0)
+        def _(j=j, dk_part=dk_part, dv_part=dv_part):
+            dk_ref[0, j] = dk_part
+            dv_ref[0, j] = dv_part
 
-    @pl.when(qi > 0)
-    def _():
-        dk_ref[0, 0] = dk_ref[0, 0] + dk_part
-        dv_ref[0, 0] = dv_ref[0, 0] + dv_part
+        @pl.when(qi > 0)
+        def _(j=j, dk_part=dk_part, dv_part=dv_part):
+            dk_ref[0, j] = dk_ref[0, j] + dk_part
+            dv_ref[0, j] = dv_ref[0, j] + dv_part
 
 
 # ---------------------------------------------------------------------------
@@ -354,17 +372,27 @@ def _largest_dividing_block(t_p: int, block: int) -> int:
     return best
 
 
-def _specs(bq, bk, d):
+def _heads_per_block(h: int) -> int:
+    """Heads packed into one program instance (PERF.md ledger 18): 2 when
+    the LOCAL head count divides evenly, else 1. Decided from per-shard
+    shapes inside _fwd_local/_bwd_local so head-sharded meshes adapt
+    automatically — and since per-head numerics are identical either way,
+    sharded==unsharded bit-exactness is preserved across the choice."""
+    return 2 if h % 2 == 0 else 1
+
+
+def _specs(bq, bk, d, hb):
     """Common BlockSpecs keyed by grid position names. Index maps take the
     4 grid coords in their kernel-specific order; callers pass lambdas.
-    Row statistics (lse, delta) are carried as (B, H, 8, T) with the row
-    replicated over 8 sublanes — TPU block shapes need the second-to-last
-    dim divisible by 8."""
+    Blocks carry ``hb`` heads (dim 1); a head-grid index hi addresses
+    element offset hi*hb. Row statistics (lse, delta) are carried as
+    (B, H, 8, T) with the row replicated over 8 sublanes — TPU block
+    shapes need the second-to-last dim divisible by 8."""
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    q_spec = lambda im: pl.BlockSpec((1, 1, bq, d), im, memory_space=pltpu.VMEM)
-    kv_spec = lambda im: pl.BlockSpec((1, 1, bk, d), im, memory_space=pltpu.VMEM)
+    q_spec = lambda im: pl.BlockSpec((1, hb, bq, d), im, memory_space=pltpu.VMEM)
+    kv_spec = lambda im: pl.BlockSpec((1, hb, bk, d), im, memory_space=pltpu.VMEM)
     bias_spec = lambda im: pl.BlockSpec((1, 1, bk), im, memory_space=pltpu.VMEM)
-    row_spec = lambda im: pl.BlockSpec((1, 1, 8, bq), im, memory_space=pltpu.VMEM)
+    row_spec = lambda im: pl.BlockSpec((1, hb, 8, bq), im, memory_space=pltpu.VMEM)
     return seed_spec, q_spec, kv_spec, bias_spec, row_spec
 
 
@@ -375,8 +403,9 @@ def _fwd_local(q, k, v, bias, seed, dropout_rate, block_q, block_k,
     tk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     nq, nk = tq // block_q, tk // block_k
+    hb = _heads_per_block(h)
     seed_spec, q_spec, kv_spec, bias_spec, row_spec = _specs(
-        block_q, block_k, d
+        block_q, block_k, d, hb
     )
     out_specs = [q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0))]
     out_shape = [jax.ShapeDtypeStruct((b, h, tq, d), q.dtype)]
@@ -386,8 +415,8 @@ def _fwd_local(q, k, v, bias, seed, dropout_rate, block_q, block_k,
     res = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
                           dropout_rate=dropout_rate, nk=nk,
-                          with_lse=need_lse),
-        grid=(b, h, nq, nk),
+                          with_lse=need_lse, hb=hb),
+        grid=(b, h // hb, nq, nk),
         in_specs=[
             seed_spec,
             q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -398,9 +427,9 @@ def _fwd_local(q, k, v, bias, seed, dropout_rate, block_q, block_k,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),   # running max m
-            pltpu.VMEM((block_q, 1), jnp.float32),   # running denom l
-            pltpu.VMEM((block_q, d), jnp.float32),   # output accumulator
+            pltpu.VMEM((hb, block_q, 1), jnp.float32),  # running max m
+            pltpu.VMEM((hb, block_q, 1), jnp.float32),  # running denom l
+            pltpu.VMEM((hb, block_q, d), jnp.float32),  # output accumulator
         ] if nk > 1 else [],
         # only the K sweep carries state (m/l/acc scratch); Mosaic may
         # pipeline/reorder the rest freely
@@ -421,8 +450,9 @@ def _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
     tk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     nq, nk = tq // block_q, tk // block_k
+    hb = _heads_per_block(h)
     seed_spec, q_spec, kv_spec, bias_spec, row_spec = _specs(
-        block_q, block_k, d
+        block_q, block_k, d, hb
     )
 
     if nk == 1:
@@ -430,8 +460,8 @@ def _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
         # gradients from ONE score recompute (the TFAM t<=512 train shapes)
         dq, dk, dv = pl.pallas_call(
             functools.partial(_dqkv_single_kernel, scale=scale,
-                              dropout_rate=dropout_rate, nk=nk),
-            grid=(b, h, nq),
+                              dropout_rate=dropout_rate, nk=nk, hb=hb),
+            grid=(b, h // hb, nq),
             in_specs=[
                 seed_spec,
                 q_spec(lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -462,8 +492,8 @@ def _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, dropout_rate=dropout_rate,
-                          nk=nk),
-        grid=(b, h, nq, nk),
+                          nk=nk, hb=hb),
+        grid=(b, h // hb, nq, nk),
         in_specs=[
             seed_spec,
             q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -488,8 +518,8 @@ def _bwd_local(q, k, v, bias, seed, g, lse, delta, dropout_rate, block_q,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale,
-                          dropout_rate=dropout_rate, nk=nk),
-        grid=(b, h, nk, nq),
+                          dropout_rate=dropout_rate, nk=nk, hb=hb),
+        grid=(b, h // hb, nk, nq),
         in_specs=[
             seed_spec,
             q_spec(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
