@@ -20,6 +20,16 @@ bench:
 sweep:
 	python tools/run_table2_sweep.py --out SWEEP.json
 
+# Table-2 fusion contrast at the FULL flagship geometry (d512/8h/4L) on
+# the chip (~45 min incl. tunnel compiles); rewrites SWEEP_FULLGEOM.json
+fullgeom:
+	python tools/run_table2_fullgeom.py --out SWEEP_FULLGEOM.json
+
+# peak-HBM measurement: student step dense vs grad-accum on the chip;
+# rewrites MEMBENCH.json (feeds docs/SCALING.md "Batches bigger than HBM")
+membench:
+	python tools/bench_memory.py --out MEMBENCH.json
+
 graft-check:
 	python __graft_entry__.py
 	# bare call, exactly as the driver makes it — dryrun self-bootstraps the
