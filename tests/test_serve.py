@@ -633,6 +633,13 @@ def test_explicit_null_motion_forces_frame_diff(tmp_path):
         def __init__(self):
             super().__init__()
             self.batch_calls = []
+            self.motion_paths = []
+
+        def predict(self, video, motion_video_path=None, top_k=5,
+                    max_frames=None):
+            self.motion_paths.append(motion_video_path)
+            return super().predict(video, top_k=top_k,
+                                   max_frames=max_frames)
 
         def predict_batch(self, videos, top_k=5, max_frames=None):
             self.batch_calls.append(list(videos))
@@ -652,6 +659,14 @@ def test_explicit_null_motion_forces_frame_diff(tmp_path):
     # route ran, not the serial motion-file route
     assert stub.batch_calls == [[video]]
     assert stub.calls == []
+
+    # the single-video route must honor the SAME rule: an explicit null
+    # reaches predict() as motion_video_path=None despite the dir match,
+    # while omitting the key resolves the dir match
+    handle_request(stub, {"video": video, "motion_video": None},
+                   motion_videos_dir=str(mdir))
+    handle_request(stub, {"video": video}, motion_videos_dir=str(mdir))
+    assert stub.motion_paths == [None, str(mdir / "clip.mp4")]
 
 
 def test_http_503_and_504_statuses():
@@ -756,3 +771,87 @@ def test_sigterm_graceful_drain():
         urllib.request.urlopen(
             f"http://127.0.0.1:{port}/healthz", timeout=5
         )
+
+
+_HARDKILL_WORKER = '''
+import os, sys, threading
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from vimoclip_tpu.cli.serve import make_http_server, serve_http
+
+
+class _Wedged:
+    """Predictor that never returns — a tunnel/device hang stand-in."""
+
+    def predict(self, video, motion_video_path=None, top_k=5,
+                max_frames=None):
+        print("INFLIGHT", flush=True)
+        threading.Event().wait()
+
+
+server = make_http_server(_Wedged(), port=0)
+print(f"PORT {server.server_address[1]}", flush=True)
+serve_http(server)
+print("DRAINED", flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_second_sigterm_hard_kills_wedged_drain(tmp_path):
+    """docs/SERVING.md's contract: the first SIGTERM drains; a SECOND
+    signal hard-kills even when the drain is wedged on a predictor that
+    never returns (no --request-timeout-s) — without it, a fleet's
+    TERM+grace window ends in an unclean SIGKILL."""
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as time_mod
+    import urllib.request
+
+    worker = tmp_path / "serve_worker.py"
+    worker.write_text(_HARDKILL_WORKER)
+    proc = subprocess.Popen(
+        [sys.executable, str(worker)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    lines = []
+    try:
+        port = None
+        for line in proc.stdout:
+            lines.append(line)
+            if line.startswith("PORT "):
+                port = int(line.split()[1])
+                break
+        assert port, "".join(lines)
+
+        def client():
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        f"http://127.0.0.1:{port}/predict",
+                        data=json.dumps({"video": "a.mp4"}).encode(),
+                        headers={"Content-Type": "application/json"},
+                    ),
+                    timeout=60,
+                )
+            except Exception:
+                pass  # the worker dies mid-response by design
+
+        threading.Thread(target=client, daemon=True).start()
+        for line in proc.stdout:
+            lines.append(line)
+            if line.startswith("INFLIGHT"):
+                break
+
+        proc.send_signal(_signal.SIGTERM)   # drain starts, wedges forever
+        time_mod.sleep(0.5)
+        proc.send_signal(_signal.SIGTERM)   # documented hard-kill
+        rc = proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    out = "".join(lines) + (proc.stdout.read() or "")
+    # default-action SIGTERM death, not a completed drain
+    assert rc == -_signal.SIGTERM, f"rc={rc}\n{out}"
+    assert "DRAINED" not in out

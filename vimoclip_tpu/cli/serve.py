@@ -408,9 +408,11 @@ def handle_request(predictor, req: dict, default_top_k: int = 5,
         return {"results": [prediction_record(v, p)
                             for v, p in zip(videos, preds)]}
     video = req["video"]
-    motion = req.get("motion_video") or find_motion_match(
-        motion_videos_dir, video
-    )
+    # same "present with null differs from absent" rule as the batch route
+    # above: an explicit null FORCES the on-device frame-diff path even
+    # when --motion-videos-dir has a filename match
+    motion = (req["motion_video"] if "motion_video" in req
+              else find_motion_match(motion_videos_dir, video))
     if batcher is not None:
         pred = batcher.predict_many([video], [motion], top_k, max_frames)[0]
     else:
@@ -540,7 +542,20 @@ def serve_http(server, batcher: DynamicBatcher | None = None,
     serving thread deadlocks BaseServer's event wait."""
     server.daemon_threads = False
     if install_signal_handlers:
+        draining = threading.Event()
+
         def _drain(signum, frame):
+            if draining.is_set():
+                # second signal: the documented hard-kill. A drain stuck on
+                # a wedged predictor (no --request-timeout-s) must stay
+                # interruptible, or the fleet's TERM+grace contract ends in
+                # an unclean SIGKILL.
+                logging.warning("signal %d again: hard exit", signum)
+                signal.signal(signal.SIGTERM, signal.SIG_DFL)
+                signal.signal(signal.SIGINT, signal.SIG_DFL)
+                signal.raise_signal(signum)
+                return
+            draining.set()
             logging.info("signal %d: draining (no new connections)", signum)
             threading.Thread(target=server.shutdown, daemon=True).start()
 
