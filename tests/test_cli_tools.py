@@ -253,11 +253,10 @@ def test_profiler_trace_smoke(tmp_path):
            os.listdir(d)
 
 
-def test_sweep_runner_end_to_end(tmp_path, mesh8, monkeypatch):
-    """run_experiments.run executes each config and records results."""
+def _sweep_fixture(tmp_path, mode="both"):
+    """Tiny 2-config sweep directory + paired HDF5 corpus for run_experiments."""
     import yaml
 
-    from vimoclip_tpu.cli.run_experiments import run
     from vimoclip_tpu.data import EmbeddingWriter
 
     rng = np.random.default_rng(11)
@@ -275,7 +274,7 @@ def test_sweep_runner_end_to_end(tmp_path, mesh8, monkeypatch):
     cfg_dir = tmp_path / "cfgs"
     cfg_dir.mkdir()
     base = {
-        "training": {"mode": "both", "seed": 49, "lr": 1e-3, "epochs": 1,
+        "training": {"mode": mode, "seed": 49, "lr": 1e-3, "epochs": 1,
                      "batch_size": 4, "num_workers": 1,
                      "data_parallel": 4, "model_parallel": 2},
         "logging": {"log_dir": "logs", "checkpoint_dir": "ckpt"},
@@ -290,7 +289,14 @@ def test_sweep_runner_end_to_end(tmp_path, mesh8, monkeypatch):
                                     concat_dim=1))
         with open(cfg_dir / f"config_{i}.yaml", "w") as f:
             yaml.safe_dump(cfg, f)
+    return cfg_dir
 
+
+def test_sweep_runner_end_to_end(tmp_path, mesh8, monkeypatch):
+    """run_experiments.run executes each config and records results."""
+    from vimoclip_tpu.cli.run_experiments import run
+
+    cfg_dir = _sweep_fixture(tmp_path)
     monkeypatch.chdir(tmp_path)
     results = run(str(cfg_dir), str(tmp_path / "sweep.json"))
     assert len(results) == 2
@@ -303,3 +309,39 @@ def test_sweep_runner_end_to_end(tmp_path, mesh8, monkeypatch):
 
     saved = json.load(open(tmp_path / "sweep.json"))
     assert len(saved) == 2
+
+
+def test_sweep_runner_stops_on_preemption(tmp_path, mesh8, monkeypatch):
+    """A SIGTERM consumed by PreemptionGuard mid-sweep must NOT start the
+    remaining configs (the grace deadline is ticking); the partial results
+    file is still written so a rerun resumes from the in-flight config."""
+    import json
+
+    from vimoclip_tpu.cli.run_experiments import run
+    from vimoclip_tpu.train.tfam_trainer import TFAMTrainer
+
+    cfg_dir = _sweep_fixture(tmp_path, mode="train")
+    monkeypatch.chdir(tmp_path)
+
+    constructed = []
+    orig_init = TFAMTrainer.__init__
+
+    def counting_init(self, *a, **kw):
+        constructed.append(1)
+        orig_init(self, *a, **kw)
+
+    def preempted_train(self):
+        # the guard latched a SIGTERM and train() returned after the
+        # mid-epoch checkpoint — exactly what the real path produces
+        self.preempted = True
+        return 0.25
+
+    monkeypatch.setattr(TFAMTrainer, "__init__", counting_init)
+    monkeypatch.setattr(TFAMTrainer, "train", preempted_train)
+
+    results = run(str(cfg_dir), str(tmp_path / "sweep.json"))
+    assert len(constructed) == 1  # the second trainer was never built
+    assert len(results) == 1
+    assert results[0]["status"] == "preempted"
+    saved = json.load(open(tmp_path / "sweep.json"))
+    assert len(saved) == 1 and saved[0]["status"] == "preempted"

@@ -137,6 +137,7 @@ def test_student_preempt_resume_matches_uninterrupted(corpus, tmp_path, mesh8):
     a = _make_trainer(corpus, str(tmp_path / "a"), mesh8)
     assert len(a.train_loader) >= 3
     a.train()
+    assert a.preempted is False  # multi-run drivers key off this latch
     params_a = _params_np(a)
     steps_a = int(a.state.step)
 
@@ -156,6 +157,9 @@ def test_student_preempt_resume_matches_uninterrupted(corpus, tmp_path, mesh8):
 
     b._train_step = signalling_step
     b.train()  # returns cleanly — no exception, no dead process
+    # the consumed SIGTERM is surfaced to multi-run drivers (sweep /
+    # fullgeom stop starting NEW arms on it; the grace deadline is ticking)
+    assert b.preempted is True
     assert count["n"] == 2  # stopped at the step boundary, not at epoch end
     assert int(b.state.step) == 2
     # the resume checkpoint carries mid-epoch bookkeeping
@@ -166,6 +170,7 @@ def test_student_preempt_resume_matches_uninterrupted(corpus, tmp_path, mesh8):
     # --- fresh process resumes and finishes ---
     c = _make_trainer(corpus, str(tmp_path / "b"), mesh8, resume=True)
     c.train()
+    assert c.preempted is False  # the latch resets per train() call
     assert int(c.state.step) == steps_a
     for pa, pc in zip(params_a, _params_np(c)):
         np.testing.assert_array_equal(pa, pc)

@@ -120,13 +120,16 @@ def run_mode(mode: str, work: str, run_dir: str) -> dict:
         checkpoint_dir=os.path.join(run_dir, mode, "ckpt"),
     )
     best_val_map = trainer.train()
-    return {
+    res = {
         "mode": mode,
         "best_val_mAP": round(float(best_val_map), 4),
         "wall_s": round(time.time() - t0, 1),
         "train_steps": int(trainer.state.step),
         "backend": jax.default_backend(),
     }
+    if trainer.preempted:
+        res["status"] = "preempted"
+    return res
 
 
 def main(argv=None) -> int:
@@ -160,14 +163,23 @@ def main(argv=None) -> int:
     setup_logging()
     run_dir = os.path.join(work, "runs")
     results = []
+    preempted = False
     for mode in args.modes.split(","):
         res = run_mode(mode, work, run_dir)
         results.append(res)
         print(json.dumps(res), flush=True)
+        if res.get("status") == "preempted":
+            # SIGTERM mid-arm: PreemptionGuard checkpointed the in-flight
+            # trainer, but the grace deadline is ticking — do NOT start the
+            # next hours-long arm. Write the partial artifact and exit;
+            # rerunning resumes this arm from its checkpoint.
+            preempted = True
+            print(f"preempted during '{mode}': stopping sweep", flush=True)
+            break
 
     by = {r["mode"]: r["best_val_mAP"] for r in results}
     ordering_ok = None
-    if set(by) >= {"cross", "rgb", "flow"}:
+    if not preempted and set(by) >= {"cross", "rgb", "flow"}:
         ordering_ok = bool(
             by["cross"] >= by["rgb"] + 0.05
             and by["rgb"] >= by["flow"] + 0.15
@@ -183,13 +195,18 @@ def main(argv=None) -> int:
         "results": results,
         "best_val_mAP": by,
         "ordering_ok": ordering_ok,
+        "preempted": preempted,
         "wall_s": round(time.time() - t0, 1),
     }
     with open(os.path.abspath(args.out), "w") as f:
         json.dump(artifact, f, indent=2)
     print(f"fullgeom sweep -> {args.out}; ordering_ok={ordering_ok} "
           f"({by})")
-    return 0 if ordering_ok else 1
+    # 1 only for an EVALUATED ordering failure or a preempted partial run;
+    # a --modes subset (ordering_ok=None, not evaluated) is a success.
+    if preempted:
+        return 1
+    return 0 if ordering_ok is not False else 1
 
 
 if __name__ == "__main__":

@@ -166,6 +166,17 @@ def run(config_dir: str, results_path: str) -> list[dict]:
             trainer = TFAMTrainer(config, log_dir=log_dir, checkpoint_dir=ckpt_dir)
             if config.training.mode in ("train", "both"):
                 entry["best_val_mAP"] = trainer.train()
+                if trainer.preempted:
+                    # SIGTERM mid-sweep: the guard already checkpointed the
+                    # in-flight run; do NOT start the remaining configs —
+                    # the grace deadline is ticking (rerun resumes here)
+                    entry["status"] = "preempted"
+                    results.append(entry)
+                    with open(results_path, "w") as f:
+                        json.dump(results, f, indent=2)
+                    logging.warning("preempted: stopping sweep after %s",
+                                    path)
+                    break
             if config.training.mode in ("test", "both"):
                 base = path.split(".yaml")[0]
                 tester = TFAMTester(

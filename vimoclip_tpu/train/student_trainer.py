@@ -157,6 +157,8 @@ class StudentTrainer:
         )
 
         self._preempt = None  # set by train() while a PreemptionGuard is live
+        self.preempted = False  # latched by train(); multi-run drivers
+        # check it to stop starting NEW runs after a consumed SIGTERM
         params = self._init_params(pretrained_params, train_dataset)
         tx = make_adam(lr, grad_clip=grad_clip)
         self.state = commit_replicated(TrainState.create(params, tx), self.mesh)
@@ -378,11 +380,13 @@ class StudentTrainer:
         )
         from vimoclip_tpu.utils.preemption import PreemptionGuard
 
+        self.preempted = False
         with PreemptionGuard() as guard:
             self._preempt = guard
             try:
                 return self._train_epochs(start_epoch, skip, best_val, start)
             finally:
+                self.preempted = guard.requested
                 self._preempt = None
 
     def _train_epochs(self, start_epoch: int, skip: int, best_val: float,

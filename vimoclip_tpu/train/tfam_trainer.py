@@ -282,6 +282,9 @@ class TFAMTrainer:
         )
 
         self._preempt = None  # set by train() while a PreemptionGuard is live
+        self.preempted = False  # latched by train(); multi-run drivers
+        # (run_experiments, run_table2_fullgeom) check it to stop starting
+        # NEW runs after a SIGTERM the guard consumed
         self.state = self._init_state()
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -511,11 +514,13 @@ class TFAMTrainer:
         best = self.ckpt.best_metric
         from vimoclip_tpu.utils.preemption import PreemptionGuard
 
+        self.preempted = False
         with PreemptionGuard() as guard:
             self._preempt = guard
             try:
                 return self._train_epochs(start_epoch, skip, best, start)
             finally:
+                self.preempted = guard.requested
                 self._preempt = None
 
     def _train_epochs(self, start_epoch: int, skip: int, best: float,
