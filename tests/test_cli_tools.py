@@ -345,3 +345,56 @@ def test_sweep_runner_stops_on_preemption(tmp_path, mesh8, monkeypatch):
     assert results[0]["status"] == "preempted"
     saved = json.load(open(tmp_path / "sweep.json"))
     assert len(saved) == 1 and saved[0]["status"] == "preempted"
+
+
+def test_sweep_runner_resume_recovers_preempted(tmp_path, mesh8, monkeypatch):
+    """`run --resume` after a preempted sweep carries status=ok configs
+    forward WITHOUT retraining and reruns the preempted config with
+    training.resume forced on, so it continues from the guard's
+    checkpoint. A -inf best (preempted before first validation) is
+    serialized as null, not non-RFC -Infinity."""
+    import json
+
+    from vimoclip_tpu.cli.run_experiments import run
+    from vimoclip_tpu.train.tfam_trainer import TFAMTrainer
+
+    cfg_dir = _sweep_fixture(tmp_path, mode="train")
+    monkeypatch.chdir(tmp_path)
+
+    resumes = []
+    orig_init = TFAMTrainer.__init__
+
+    def recording_init(self, config, *a, **kw):
+        resumes.append(config.training.resume)
+        orig_init(self, config, *a, **kw)
+
+    calls = {"n": 0}
+
+    def phased_train(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 0.5  # config_0 completes
+        if calls["n"] == 2:
+            # config_1 preempted before its first validation
+            self.preempted = True
+            return float("-inf")
+        return 0.7      # config_1 rerun completes
+
+    monkeypatch.setattr(TFAMTrainer, "__init__", recording_init)
+    monkeypatch.setattr(TFAMTrainer, "train", phased_train)
+
+    out = str(tmp_path / "sweep.json")
+    results = run(str(cfg_dir), out)
+    assert [r["status"] for r in results] == ["ok", "preempted"]
+    assert results[1]["best_val_mAP"] is None  # -inf -> null
+    json.load(open(out))  # strict-JSON parseable (no -Infinity)
+
+    resumes.clear()
+    recovered = run(str(cfg_dir), out, resume=True)
+    assert [r["status"] for r in recovered] == ["ok", "ok"]
+    assert recovered[0]["best_val_mAP"] == 0.5   # carried, not retrained
+    assert recovered[1]["best_val_mAP"] == 0.7
+    assert calls["n"] == 3                       # config_0 never reran
+    assert resumes == [True]                     # rerun resumed from ckpt
+    saved = json.load(open(out))
+    assert [r["status"] for r in saved] == ["ok", "ok"]

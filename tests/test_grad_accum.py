@@ -350,3 +350,53 @@ def test_membench_artifact_pins_memory_claim():
     # microbatch-size invariance: both microbatch-8 arms share the arena
     assert abs(rescued["temp_bytes"] - accum["temp_bytes"]) \
         < 0.05 * accum["temp_bytes"]
+
+
+def test_bench_memory_subset_merges_into_existing(tmp_path, monkeypatch):
+    """A subset re-measure (--arms 32:1) must MERGE into an existing
+    artifact, not clobber the committed 4-arm file the integrity test
+    above pins; a stalled arm (TimeoutExpired) is recorded, not fatal."""
+    import importlib.util
+    import json
+    import os
+    import subprocess as sp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_memory", os.path.join(repo, "tools", "bench_memory.py"))
+    bm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bm)
+
+    out = tmp_path / "MEMBENCH.json"
+    existing = {"bench": "x", "results": [
+        {"batch_size": b, "grad_accum": n, "status": "ok", "temp_bytes": i}
+        for i, (b, n) in enumerate([(32, 1), (32, 4), (64, 1), (64, 8)])
+    ]}
+    out.write_text(json.dumps(existing))
+
+    class _FakeProc:
+        returncode = 0
+
+    def fake_run(cmd, text=True, timeout=None):
+        if "--arm-out" not in cmd:
+            raise AssertionError(cmd)
+        arm_out = cmd[cmd.index("--arm-out") + 1]
+        b = int(cmd[cmd.index("--batch-size") + 1])
+        n = int(cmd[cmd.index("--grad-accum") + 1])
+        if (b, n) == (64, 8):
+            raise sp.TimeoutExpired(cmd, timeout)
+        with open(arm_out, "w") as f:
+            json.dump({"batch_size": b, "grad_accum": n, "status": "ok",
+                       "temp_bytes": 999}, f)
+        return _FakeProc()
+
+    monkeypatch.setattr(bm.subprocess, "run", fake_run)
+    assert bm.main(["--out", str(out), "--arms", "32:1,64:8"]) == 0
+
+    merged = {(r["batch_size"], r["grad_accum"]): r
+              for r in json.loads(out.read_text())["results"]}
+    assert set(merged) == {(32, 1), (32, 4), (64, 1), (64, 8)}
+    assert merged[(32, 1)]["temp_bytes"] == 999          # re-measured
+    assert merged[(32, 4)]["temp_bytes"] == 1            # preserved
+    assert merged[(64, 1)]["temp_bytes"] == 2            # preserved
+    assert "timeout" in merged[(64, 8)]["status"]        # recorded, not fatal

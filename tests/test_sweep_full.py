@@ -115,3 +115,57 @@ def test_table2_sweep_executes_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     sweep = json.loads(out.read_text())
     assert sweep["configs_ok"] == sweep["configs_total"] == 21
+
+
+def test_fullgeom_driver_preemption_and_exit_codes(tmp_path, monkeypatch):
+    """Control flow of tools/run_table2_fullgeom.py main(): a preempted arm
+    stops the sweep (no further hours-long arms), writes a partial
+    artifact, and exits 1; a --modes subset that runs clean exits 0 with
+    ordering_ok null (not evaluated != failed)."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "run_table2_fullgeom",
+        os.path.join(_REPO, "tools", "run_table2_fullgeom.py"))
+    fg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fg)
+
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "rgb_val.h5").touch()  # corpus phase sees "reuse"
+
+    ran = []
+
+    def fake_run_mode(mode, w, run_dir):
+        ran.append(mode)
+        res = {"mode": mode, "best_val_mAP": 0.9, "wall_s": 1.0,
+               "train_steps": 10, "backend": "cpu"}
+        if mode == "concat_t":
+            res["status"] = "preempted"
+            res["best_val_mAP"] = None  # preempted before first val
+        return res
+
+    monkeypatch.setattr(fg, "run_mode", fake_run_mode)
+    out = tmp_path / "art.json"
+    rc = fg.main(["--work-dir", str(work), "--out", str(out)])
+    assert rc == 1
+    assert ran == ["cross", "concat_t"]  # rgb/flow arms never started
+    art = json.loads(out.read_text())    # strict JSON (no -Infinity)
+    assert art["preempted"] is True
+    assert art["ordering_ok"] is None
+
+    # clean subset: success, ordering not evaluable -> exit 0
+    ran.clear()
+
+    def clean_run_mode(mode, w, run_dir):
+        ran.append(mode)
+        return {"mode": mode, "best_val_mAP": 0.9, "wall_s": 1.0,
+                "train_steps": 10, "backend": "cpu"}
+
+    monkeypatch.setattr(fg, "run_mode", clean_run_mode)
+    rc = fg.main(["--work-dir", str(work), "--out", str(out),
+                  "--modes", "cross,rgb"])
+    assert rc == 0
+    art = json.loads(out.read_text())
+    assert art["ordering_ok"] is None and art["preempted"] is False

@@ -98,7 +98,13 @@ def run_mode(mode: str, work: str, run_dir: str) -> dict:
 
     cfg = ExperimentConfig(
         training=TrainingConfig(
-            mode="train", num_workers=2, half_precision=False, **RECIPE,
+            # resume=True makes reruns RECOVER rather than redo: an arm
+            # preempted mid-epoch continues from the guard's checkpoint,
+            # a completed arm restores its recorded best and returns
+            # immediately, and a fresh work dir starts from scratch (no
+            # checkpoint -> no restore). Clear --work-dir to re-measure.
+            mode="train", num_workers=2, half_precision=False, resume=True,
+            **RECIPE,
         ),
         logging=LoggingConfig(),
         data=DataConfig(
@@ -119,10 +125,15 @@ def run_mode(mode: str, work: str, run_dir: str) -> dict:
         log_dir=os.path.join(run_dir, mode, "logs"),
         checkpoint_dir=os.path.join(run_dir, mode, "ckpt"),
     )
-    best_val_map = trainer.train()
+    import math
+
+    best_val_map = float(trainer.train())
     res = {
         "mode": mode,
-        "best_val_mAP": round(float(best_val_map), 4),
+        # preempted before the first validation -> -inf, which json.dump
+        # would serialize as non-RFC -Infinity
+        "best_val_mAP": (round(best_val_map, 4)
+                         if math.isfinite(best_val_map) else None),
         "wall_s": round(time.time() - t0, 1),
         "train_steps": int(trainer.state.step),
         "backend": jax.default_backend(),

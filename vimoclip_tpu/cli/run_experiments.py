@@ -144,40 +144,65 @@ def _sweep_order(paths: list[str]) -> list[str]:
     return sorted(paths, key=key)
 
 
-def run(config_dir: str, results_path: str) -> list[dict]:
+def run(config_dir: str, results_path: str,
+        resume: bool = False) -> list[dict]:
     """Execute every config like the reference sweep script: each run
     trains AND evaluates per its ``training.mode`` (the reference invokes
     train_and_eval with mode=both, run_experiments.sh). Per-config
     failures are recorded (status=error) and the sweep continues — the
     results JSON is rewritten after every config, so a crash loses at most
-    the in-flight run."""
+    the in-flight run.
+
+    A SIGTERM consumed mid-run stops the sweep after the in-flight config
+    (status=preempted; the guard already cut its mid-epoch checkpoint).
+    ``resume=True`` (CLI ``run --resume``) recovers: configs already
+    recorded status=ok in ``results_path`` are carried forward without
+    retraining, and the rest run with ``training.resume`` forced on so the
+    preempted config continues from its checkpoint (configs never started
+    have empty checkpoint dirs and begin fresh)."""
+    import math
+
     from vimoclip_tpu.config import derive_run_dirs, load_experiment_config
     from vimoclip_tpu.prng import set_seed
     from vimoclip_tpu.train.tfam_trainer import TFAMTester, TFAMTrainer
 
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(results_path):
+        with open(results_path) as f:
+            done = {e["config"]: e for e in json.load(f)
+                    if e.get("status") == "ok"}
+        if done:
+            logging.info("resume: carrying %d completed configs forward",
+                         len(done))
+
     results = []
+    preempted = False
     for path in _sweep_order(glob.glob(os.path.join(config_dir, "config_*.yaml"))):
+        name = os.path.basename(path)
+        if name in done:
+            results.append(done[name])
+            continue
         logging.info("=== %s ===", path)
-        entry: dict = {"config": os.path.basename(path), "status": "ok"}
+        entry: dict = {"config": name, "status": "ok"}
         try:
             config = load_experiment_config(path)
+            if resume:
+                config.training.resume = True
             set_seed(config.training.seed)
             log_dir, ckpt_dir = derive_run_dirs(config)
             trainer = TFAMTrainer(config, log_dir=log_dir, checkpoint_dir=ckpt_dir)
             if config.training.mode in ("train", "both"):
-                entry["best_val_mAP"] = trainer.train()
+                best = float(trainer.train())
+                # a run preempted before its first validation has best
+                # -inf, which json.dump would write as non-RFC -Infinity
+                entry["best_val_mAP"] = best if math.isfinite(best) else None
                 if trainer.preempted:
                     # SIGTERM mid-sweep: the guard already checkpointed the
                     # in-flight run; do NOT start the remaining configs —
-                    # the grace deadline is ticking (rerun resumes here)
+                    # the grace deadline is ticking (rerun with --resume)
                     entry["status"] = "preempted"
-                    results.append(entry)
-                    with open(results_path, "w") as f:
-                        json.dump(results, f, indent=2)
-                    logging.warning("preempted: stopping sweep after %s",
-                                    path)
-                    break
-            if config.training.mode in ("test", "both"):
+                    preempted = True
+            if not preempted and config.training.mode in ("test", "both"):
                 base = path.split(".yaml")[0]
                 tester = TFAMTester(
                     trainer, results_dir=os.path.join(base, "results")
@@ -195,11 +220,16 @@ def run(config_dir: str, results_path: str) -> list[dict]:
         results.append(entry)
         with open(results_path, "w") as f:
             json.dump(results, f, indent=2)  # incremental, crash-safe
+        if preempted:
+            logging.warning("preempted: stopping sweep after %s; rerun "
+                            "with --resume to continue", path)
+            break
     try:
         from tabulate import tabulate
 
         def fmt(r, key):
-            return f"{r[key]:.4f}" if key in r else "-"
+            v = r.get(key)
+            return f"{v:.4f}" if isinstance(v, (int, float)) else "-"
 
         print(tabulate(
             [(r["config"], r["status"], fmt(r, "best_val_mAP"),
@@ -230,6 +260,10 @@ def main(argv: list[str] | None = None) -> None:
     r = sub.add_parser("run", help="run every config in a directory")
     r.add_argument("--config-dir", default="configs/cfg_AK")
     r.add_argument("--results", default="sweep_results.json")
+    r.add_argument("--resume", action="store_true",
+                   help="recover a preempted/crashed sweep: carry configs "
+                        "already status=ok in --results forward and resume "
+                        "the in-flight one from its checkpoint")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -248,7 +282,7 @@ def main(argv: list[str] | None = None) -> None:
         paths = generate(args.out_dir, overrides, base_overrides=base)
         print(f"wrote {len(paths)} configs to {args.out_dir}")
     else:
-        run(args.config_dir, args.results)
+        run(args.config_dir, args.results, resume=args.resume)
 
 
 if __name__ == "__main__":
