@@ -8,7 +8,7 @@ import pytest
     "extract_embeddings", "train_student", "export_motion_embeddings",
     "tfam_train_eval", "generate_motion", "h5_structure_checker",
     "run_experiments", "benchmark", "extract_frames", "predict",
-    "h5_merge", "run_pipeline", "serve",
+    "h5_merge", "run_pipeline", "serve", "convert",
 ])
 def test_cli_help(module, capsys):
     import importlib

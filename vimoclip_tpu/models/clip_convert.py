@@ -122,6 +122,56 @@ def clip_vision_params_from_openai(
     return params
 
 
+def clip_vision_params_to_openai(
+    params: Mapping, config: ClipVisionConfig, prefix: str = "visual."
+) -> dict:
+    """Reverse of :func:`clip_vision_params_from_openai`: Flax
+    ``ClipVisionEncoder`` params -> OpenAI ``clip`` package visual state
+    dict (numpy values), so backbones trained or fine-tuned here can be
+    loaded back into torch stacks built on ``clip.load`` — including the
+    reference student (models/student_model.py:44). Exact inverse: the
+    from/to pair round-trips bit-identically (tests/test_clip_vit.py)."""
+    p = params
+    out: dict[str, np.ndarray] = {}
+
+    def put(key, value):
+        out[prefix + key] = np.ascontiguousarray(np.asarray(value))
+
+    put("class_embedding", p["class_embedding"])
+    put("positional_embedding", p["position_embedding"])
+    # flax conv kernel (kh, kw, C, E) -> torch conv weight (E, C, kh, kw)
+    put("conv1.weight",
+        np.transpose(np.asarray(p["patch_embedding"]["kernel"]), (3, 2, 0, 1)))
+    put("ln_pre.weight", p["pre_layernorm"]["scale"])
+    put("ln_pre.bias", p["pre_layernorm"]["bias"])
+    put("ln_post.weight", p["post_layernorm"]["scale"])
+    put("ln_post.bias", p["post_layernorm"]["bias"])
+    # OpenAI applies x @ proj directly: kernel is stored torch-layout
+    put("proj", p["visual_projection"]["kernel"])
+    for i in range(config.num_layers):
+        layer = p[f"layers_{i}"]
+        t = f"transformer.resblocks.{i}"
+        attn = layer["attn"]
+        put(f"{t}.attn.in_proj_weight", np.concatenate(
+            [np.asarray(attn[n]["kernel"]).T
+             for n in ("q_proj", "k_proj", "v_proj")], axis=0))
+        put(f"{t}.attn.in_proj_bias", np.concatenate(
+            [np.asarray(attn[n]["bias"])
+             for n in ("q_proj", "k_proj", "v_proj")]))
+        put(f"{t}.attn.out_proj.weight",
+            np.asarray(attn["out_proj"]["kernel"]).T)
+        put(f"{t}.attn.out_proj.bias", attn["out_proj"]["bias"])
+        put(f"{t}.ln_1.weight", layer["layer_norm1"]["scale"])
+        put(f"{t}.ln_1.bias", layer["layer_norm1"]["bias"])
+        put(f"{t}.ln_2.weight", layer["layer_norm2"]["scale"])
+        put(f"{t}.ln_2.bias", layer["layer_norm2"]["bias"])
+        put(f"{t}.mlp.c_fc.weight", np.asarray(layer["mlp_fc1"]["kernel"]).T)
+        put(f"{t}.mlp.c_fc.bias", layer["mlp_fc1"]["bias"])
+        put(f"{t}.mlp.c_proj.weight", np.asarray(layer["mlp_fc2"]["kernel"]).T)
+        put(f"{t}.mlp.c_proj.bias", layer["mlp_fc2"]["bias"])
+    return out
+
+
 def config_from_hf_state(state: Mapping[str, np.ndarray]) -> ClipVisionConfig:
     """Infer a ClipVisionConfig from an HF state dict's shapes."""
     s = dict(state)

@@ -116,11 +116,70 @@ def residual_mlp_params_from_torch(state: Mapping[str, np.ndarray], prefix: str 
     }
 
 
-def tfam_params_to_torch(params: Mapping, num_layers: int = 4) -> dict:
+def _emit_linear(out: dict, flax_p: Mapping, torch_name: str) -> None:
+    out[f"{torch_name}.weight"] = np.ascontiguousarray(
+        np.asarray(flax_p["kernel"]).T
+    )
+    out[f"{torch_name}.bias"] = np.asarray(flax_p["bias"])
+
+
+def student_params_from_torch(state: Mapping[str, np.ndarray],
+                              vision_config) -> dict:
+    """Reference ``FlowStudentModel``/``FrameDiffStudentModel`` state dict
+    (models/student_model.py:38-59: OpenAI CLIP ``visual_encoder`` +
+    ``residual_mlp`` + 2-layer ``classification_head``) -> StudentModel
+    Flax params — loads a reference-trained stage-1 checkpoint
+    (train.py:174 ``student_best.pth``) into this framework's exporter/
+    predictor stack."""
+    from vimoclip_tpu.models.clip_convert import clip_vision_params_from_openai
+
+    state = strip_prefix(dict(state))
+    visual = {f"visual.{k[len('visual_encoder.'):]}": v
+              for k, v in state.items() if k.startswith("visual_encoder.")}
+    return {
+        "visual_encoder": clip_vision_params_from_openai(visual, vision_config),
+        "residual_mlp": residual_mlp_params_from_torch(state),
+        "head_dense1": _linear(state, "classification_head.0"),
+        "head_dense2": _linear(state, "classification_head.2"),
+    }
+
+
+def student_params_to_torch(params: Mapping, vision_config) -> dict:
+    """Reverse conversion: StudentModel Flax params -> the reference
+    student's state-dict layout (numpy values), so stage-1 models trained
+    here can be loaded by the reference export/inference code via
+    ``model.load_state_dict({k: torch.from_numpy(v) ...})``. Inverse of
+    :func:`student_params_from_torch` (round-trip tested)."""
+    from vimoclip_tpu.models.clip_convert import clip_vision_params_to_openai
+
+    out: dict[str, np.ndarray] = {}
+    for k, v in clip_vision_params_to_openai(
+        params["visual_encoder"], vision_config, prefix=""
+    ).items():
+        out[f"visual_encoder.{k}"] = v
+    _emit_linear(out, params["residual_mlp"]["fc1"], "residual_mlp.fc1")
+    _emit_linear(out, params["residual_mlp"]["fc2"], "residual_mlp.fc2")
+    _emit_linear(out, params["head_dense1"], "classification_head.0")
+    _emit_linear(out, params["head_dense2"], "classification_head.2")
+    return out
+
+
+def tfam_params_to_torch(params: Mapping, num_layers: int = 4,
+                         fill_missing_reference_modules: bool = False) -> dict:
     """Reverse conversion: TFAM Flax params -> reference AMO_CLIP state-dict
     layout (numpy values), so models trained here can be loaded by the
     reference code (or any torch tooling) via
-    ``model.load_state_dict({k: torch.from_numpy(v) ...})``."""
+    ``model.load_state_dict({k: torch.from_numpy(v) ...})``.
+
+    The reference constructs ``cross_attn``/``norm_cross`` (AMO_CLIP.py:20)
+    and ``projection_layer`` (:86) UNCONDITIONALLY, while this framework
+    creates them lazily per fusion mode — so a bare conversion of e.g. a
+    cross-attention model is missing ``projection_layer.*`` and the
+    reference's strict ``load_state_dict`` (train_and_eval.py:189) rejects
+    it. ``fill_missing_reference_modules=True`` synthesizes the unused
+    modules with torch-default-shaped placeholders (LayerNorm ones/zeros,
+    zero linears) — they are dead weights in the exported mode's forward
+    path, exactly like the reference's own untrained unused modules."""
     out: dict[str, np.ndarray] = {}
 
     def lin(flax_p, torch_name):
@@ -160,4 +219,23 @@ def tfam_params_to_torch(params: Mapping, num_layers: int = 4) -> dict:
     lin(params["classifier_dense2"], "classifier.4")
     if "projection_layer" in params:
         lin(params["projection_layer"], "projection_layer")
+
+    if fill_missing_reference_modules:
+        d = int(np.asarray(params["classifier_norm"]["scale"]).shape[0])
+
+        def fill(key, shape, ones=False):
+            if key not in out:
+                out[key] = (np.ones(shape, np.float32) if ones
+                            else np.zeros(shape, np.float32))
+
+        for i in range(num_layers):
+            t = f"layers.{i}"
+            fill(f"{t}.cross_attn.in_proj_weight", (3 * d, d))
+            fill(f"{t}.cross_attn.in_proj_bias", (3 * d,))
+            fill(f"{t}.cross_attn.out_proj.weight", (d, d))
+            fill(f"{t}.cross_attn.out_proj.bias", (d,))
+            fill(f"{t}.norm_cross.weight", (d,), ones=True)
+            fill(f"{t}.norm_cross.bias", (d,))
+        fill("projection_layer.weight", (d, 2 * d))
+        fill("projection_layer.bias", (d,))
     return out
