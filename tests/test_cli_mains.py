@@ -75,6 +75,27 @@ def test_train_student_then_export_cli(stage1_fixtures, tmp_path):
         assert f["v0"].attrs["complete"]
         baseline_v0 = f["v0"]["embeddings"][:]
 
+    # full-circle migration (round 5): the trained checkpoint exported to
+    # the reference's student_best.pth layout (vimo-convert), then driving
+    # this exporter via --torch-checkpoint, must produce byte-identical
+    # embeddings — train here, hand the .pth to a reference user, or take
+    # theirs and export here, with zero drift
+    from vimoclip_tpu.cli.convert import main as convert_main
+
+    pth = str(tmp_path / "student_best.pth")
+    assert convert_main([
+        "student-to-torch", "--checkpoint-dir", ckpt_dir, "--out", pth,
+        "--module-prefix",  # the DataParallel form reference ckpts carry
+    ]) == 0
+    torch_h5 = str(tmp_path / "motion_emb_torch.h5")
+    export_main([
+        "--videos-dir", vdir, "--output", torch_h5,
+        "--torch-checkpoint", pth, "--clip-weights", clip_ckpt,
+        "--chunk-size", "8", "--float32", "--num-classes", "4",
+    ])
+    with h5py.File(torch_h5, "r") as f:
+        np.testing.assert_array_equal(f["v0"]["embeddings"][:], baseline_v0)
+
     # opt-in ToMe arm: merging tokens inside the student ViT must keep the
     # export schema/shapes identical (per-frame embeddings, not tokens) while
     # actually changing the numbers (proves the flag reaches the encoder)

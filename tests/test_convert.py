@@ -190,3 +190,43 @@ def test_convert_cli_pointed_errors(tmp_path):
     with pytest.raises(SystemExit, match="no checkpoint"):
         convert_main(["tfam-to-torch", "--checkpoint-dir",
                       str(tmp_path / "nope"), "--out", str(tmp_path / "x")])
+
+
+def test_student_params_from_checkpoint_file(tmp_path):
+    """The file-level loader accepts the reference's on-disk forms: a bare
+    state dict and the DataParallel 'module.'-prefixed layout its
+    checkpoints carry (inference.py:80-86) — this is what
+    --student-torch-checkpoint / --torch-checkpoint feed."""
+    import torch
+
+    from vimoclip_tpu.models.student import StudentModel
+    from vimoclip_tpu.models.torch_compat import (
+        student_params_from_checkpoint,
+    )
+
+    model = StudentModel(vision_config=VCFG, num_classes=5)
+    params = model.init(
+        jax.random.key(4), jnp.zeros((1, 3, 32, 32, 3), jnp.uint8)
+    )["params"]
+    state = {k: torch.from_numpy(np.array(v))
+             for k, v in student_params_to_torch(params, VCFG).items()}
+
+    bare = str(tmp_path / "student_best.pth")
+    torch.save(state, bare)
+    _assert_trees_equal(params, student_params_from_checkpoint(bare, VCFG))
+
+    dp = str(tmp_path / "student_dp.pth")
+    torch.save({f"module.{k}": v for k, v in state.items()}, dp)
+    _assert_trees_equal(params, student_params_from_checkpoint(dp, VCFG))
+
+
+def test_cli_student_flag_exclusivity():
+    """predict/serve and the exporter each require exactly one student
+    weight source."""
+    from vimoclip_tpu.cli.export_motion_embeddings import main as export_main
+
+    with pytest.raises(SystemExit):
+        export_main(["--videos-dir", "/x", "--output", "/y.h5"])
+    with pytest.raises(SystemExit):
+        export_main(["--videos-dir", "/x", "--output", "/y.h5",
+                     "--checkpoint-dir", "/a", "--torch-checkpoint", "/b"])

@@ -14,8 +14,13 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="Export student motion embeddings to HDF5")
     p.add_argument("--videos-dir", required=True, help="motion (flow/diff) video dir")
     p.add_argument("--output", required=True, help="output HDF5 path")
-    p.add_argument("--checkpoint-dir", required=True,
+    p.add_argument("--checkpoint-dir", default=None,
                    help="student CheckpointManager dir (uses 'best')")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference-format student_best.pth instead "
+                        "(train.py:174; DataParallel 'module.' prefix "
+                        "handled) — a reference user's existing stage-1 "
+                        "artifact drives this exporter unconverted")
     p.add_argument("--clip-weights", default=None,
                    help="vision config source; inferred from checkpoint if omitted")
     p.add_argument("--chunk-size", type=int, default=128,
@@ -53,6 +58,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="minimum per-frame cosine the --verify-fidelity "
                         "probe must reach (default 0.97)")
     args = p.parse_args(argv)
+    if (args.checkpoint_dir is None) == (args.torch_checkpoint is None):
+        p.error("exactly one of --checkpoint-dir / --torch-checkpoint "
+                "is required")
 
     setup_logging()
     from vimoclip_tpu.utils.jax_setup import enable_compilation_cache
@@ -81,17 +89,30 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     # Restore the best student checkpoint (inference.py:79-87 loads
-    # student_best.pth; here CheckpointManager/best).
-    model = StudentModel(vision_config=vision_config,
-                         num_classes=args.num_classes)
-    import jax.numpy as jnp
+    # student_best.pth; here CheckpointManager/best, or the reference's
+    # own torch file directly).
+    if args.checkpoint_dir:
+        model = StudentModel(vision_config=vision_config,
+                             num_classes=args.num_classes)
+        import jax.numpy as jnp
 
-    dummy = jnp.zeros((1, 2, vision_config.image_size, vision_config.image_size, 3),
-                      jnp.uint8)
-    params = model.init(jax.random.key(0), dummy)["params"]
-    state = TrainState.create(params, make_adam(1e-5))
-    ckpt = CheckpointManager(args.checkpoint_dir)
-    state, _ = ckpt.restore(state, "best")
+        dummy = jnp.zeros(
+            (1, 2, vision_config.image_size, vision_config.image_size, 3),
+            jnp.uint8,
+        )
+        params = model.init(jax.random.key(0), dummy)["params"]
+        state = TrainState.create(params, make_adam(1e-5))
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        state, _ = ckpt.restore(state, "best")
+        student_params = state.params
+    else:
+        from vimoclip_tpu.models.torch_compat import (
+            student_params_from_checkpoint,
+        )
+
+        student_params = student_params_from_checkpoint(
+            args.torch_checkpoint, vision_config
+        )
 
     videos = find_motion_videos(args.videos_dir)
     logging.info("found %d motion videos", len(videos))
@@ -103,7 +124,7 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit("--verify-fidelity: no motion videos to probe")
         from vimoclip_tpu.fidelity import check_encoder_fidelity
 
-        tower = state.params.get("visual_encoder", state.params)
+        tower = student_params.get("visual_encoder", student_params)
         check_encoder_fidelity(
             tower, vision_config, videos[0],
             args.verify_fidelity, args.fidelity_threshold,
@@ -111,7 +132,7 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     exporter = MotionEmbeddingExporter(
-        state.params, vision_config,
+        student_params, vision_config,
         chunk_size=args.chunk_size,
         half_precision=not args.float32,
         compression=None if args.compression == "none" else args.compression,

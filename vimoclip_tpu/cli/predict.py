@@ -31,8 +31,12 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     (cli/serve.py builds the identical predictor from them)."""
     p.add_argument("--teacher-weights", required=True,
                    help="CLIP visual weights (safetensors/.pt/.pth/HF dir)")
-    p.add_argument("--student-checkpoint-dir", required=True,
+    p.add_argument("--student-checkpoint-dir", default=None,
                    help="stage-1 student CheckpointManager dir (uses 'best')")
+    p.add_argument("--student-torch-checkpoint", default=None,
+                   help="reference-format student_best.pth instead "
+                        "(train.py:174; DataParallel 'module.' prefix "
+                        "handled)")
     p.add_argument("--student-clip-weights", default=None,
                    help="vision config source for the student tower "
                         "(like vimo-export-motion's --clip-weights); "
@@ -90,6 +94,10 @@ def validate_model_args(p: argparse.ArgumentParser, args) -> None:
     if (args.tfam_checkpoint_dir is None) == (args.tfam_torch_checkpoint is None):
         p.error("exactly one of --tfam-checkpoint-dir / "
                 "--tfam-torch-checkpoint is required")
+    if (args.student_checkpoint_dir is None) == \
+            (args.student_torch_checkpoint is None):
+        p.error("exactly one of --student-checkpoint-dir / "
+                "--student-torch-checkpoint is required")
 
 
 def build_predictor(args, probe_video: str | None = None):
@@ -133,19 +141,31 @@ def build_predictor(args, probe_video: str | None = None):
             student_config,
             matmul_quant=args.quantize or student_config.matmul_quant,
         )
-    student = StudentModel(
-        vision_config=student_config,
-        num_classes=args.student_num_classes or cfg.num_classes,
-    )
-    dummy = jnp.zeros(
-        (1, 2, student_config.image_size, student_config.image_size, 3),
-        jnp.uint8,
-    )
-    sparams = student.init(jax.random.key(0), dummy)["params"]
-    sstate = TrainState.create(sparams, make_adam(1e-5))
-    sstate, _ = CheckpointManager(args.student_checkpoint_dir).restore(
-        sstate, "best"
-    )
+    if args.student_checkpoint_dir:
+        student = StudentModel(
+            vision_config=student_config,
+            num_classes=args.student_num_classes or cfg.num_classes,
+        )
+        dummy = jnp.zeros(
+            (1, 2, student_config.image_size, student_config.image_size, 3),
+            jnp.uint8,
+        )
+        sparams = student.init(jax.random.key(0), dummy)["params"]
+        sstate = TrainState.create(sparams, make_adam(1e-5))
+        sstate, _ = CheckpointManager(args.student_checkpoint_dir).restore(
+            sstate, "best"
+        )
+        student_params = sstate.params
+    else:
+        # reference-format student_best.pth (train.py:174) directly — a
+        # reference user's existing stage-1 artifact needs no conversion
+        from vimoclip_tpu.models.torch_compat import (
+            student_params_from_checkpoint,
+        )
+
+        student_params = student_params_from_checkpoint(
+            args.student_torch_checkpoint, student_config
+        )
 
     # stage-2 TFAM 'best' (orbax) or reference torch checkpoint
     if args.tfam_checkpoint_dir:
@@ -190,7 +210,7 @@ def build_predictor(args, probe_video: str | None = None):
         if student_config.matmul_quant or student_config.token_merge_r:
             from vimoclip_tpu.fidelity import sample_motion_probe_frames
 
-            tower = sstate.params.get("visual_encoder", sstate.params)
+            tower = student_params.get("visual_encoder", student_params)
             # In this cascade the student only ever sees frame_diff()
             # outputs (serving.py), whose near-black sparse statistics
             # stress int8/ToMe very differently from RGB — probe on THAT
@@ -220,7 +240,7 @@ def build_predictor(args, probe_video: str | None = None):
 
     return ViMoCLIPPredictor(
         teacher_params=teacher_params, teacher_config=teacher_config,
-        student_params=sstate.params, student_config=student_config,
+        student_params=student_params, student_config=student_config,
         tfam_params=fparams, tfam_config=cfg.model,
         num_classes=cfg.num_classes, class_names=class_names,
         frame_batch=args.frame_batch,

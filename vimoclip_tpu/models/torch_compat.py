@@ -144,6 +144,21 @@ def student_params_from_torch(state: Mapping[str, np.ndarray],
     }
 
 
+def student_params_from_checkpoint(path: str, vision_config) -> dict:
+    """Load a reference stage-1 student checkpoint FILE (student_best.pth,
+    train.py:174 — a bare state dict, possibly DataParallel-prefixed) into
+    StudentModel Flax params (torch needed at call time — offline tool
+    path, never the TPU hot loop). File-level twin of
+    :func:`tfam_params_from_checkpoint`."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    state = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+    return student_params_from_torch(
+        {k: v.numpy() for k, v in state.items()}, vision_config
+    )
+
+
 def student_params_to_torch(params: Mapping, vision_config) -> dict:
     """Reverse conversion: StudentModel Flax params -> the reference
     student's state-dict layout (numpy values), so stage-1 models trained
