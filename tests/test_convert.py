@@ -213,11 +213,22 @@ def test_student_params_from_checkpoint_file(tmp_path):
 
     bare = str(tmp_path / "student_best.pth")
     torch.save(state, bare)
-    _assert_trees_equal(params, student_params_from_checkpoint(bare, VCFG))
+    cfg, loaded = student_params_from_checkpoint(bare, VCFG)
+    assert cfg is VCFG
+    _assert_trees_equal(params, loaded)
 
     dp = str(tmp_path / "student_dp.pth")
     torch.save({f"module.{k}": v for k, v in state.items()}, dp)
-    _assert_trees_equal(params, student_params_from_checkpoint(dp, VCFG))
+    # config=None: geometry is INFERRED from the checkpoint's own shapes
+    # (image/patch/hidden/layers/ffn/proj; heads not recoverable — the
+    # hidden//64 CLIP convention, clamped to 1 for this tiny fixture)
+    inferred, loaded = student_params_from_checkpoint(dp)
+    assert (inferred.image_size, inferred.patch_size,
+            inferred.hidden_size, inferred.num_layers,
+            inferred.intermediate_size, inferred.projection_dim) == \
+        (VCFG.image_size, VCFG.patch_size, VCFG.hidden_size,
+         VCFG.num_layers, VCFG.intermediate_size, VCFG.projection_dim)
+    _assert_trees_equal(params, loaded)
 
 
 def test_cli_student_flag_exclusivity():

@@ -106,13 +106,24 @@ def main(argv: list[str] | None = None) -> None:
         state, _ = ckpt.restore(state, "best")
         student_params = state.params
     else:
+        # without --clip-weights the backbone geometry is inferred from
+        # the checkpoint's own shapes
         from vimoclip_tpu.models.torch_compat import (
             student_params_from_checkpoint,
         )
 
-        student_params = student_params_from_checkpoint(
-            args.torch_checkpoint, vision_config
+        inferred, student_params = student_params_from_checkpoint(
+            args.torch_checkpoint,
+            vision_config if args.clip_weights else None,
         )
+        if inferred is not vision_config:
+            import dataclasses
+
+            vision_config = dataclasses.replace(
+                inferred,
+                matmul_quant=vision_config.matmul_quant,
+                token_merge_r=vision_config.token_merge_r,
+            )
 
     videos = find_motion_videos(args.videos_dir)
     logging.info("found %d motion videos", len(videos))

@@ -158,14 +158,23 @@ def build_predictor(args, probe_video: str | None = None):
         student_params = sstate.params
     else:
         # reference-format student_best.pth (train.py:174) directly — a
-        # reference user's existing stage-1 artifact needs no conversion
+        # reference user's existing stage-1 artifact needs no conversion;
+        # without --student-clip-weights the backbone geometry is inferred
+        # from the checkpoint's own shapes
         from vimoclip_tpu.models.torch_compat import (
             student_params_from_checkpoint,
         )
 
-        student_params = student_params_from_checkpoint(
-            args.student_torch_checkpoint, student_config
+        inferred, student_params = student_params_from_checkpoint(
+            args.student_torch_checkpoint,
+            student_config if args.student_clip_weights else None,
         )
+        if inferred is not student_config:
+            import dataclasses
+
+            student_config = dataclasses.replace(
+                inferred, matmul_quant=student_config.matmul_quant
+            )
 
     # stage-2 TFAM 'best' (orbax) or reference torch checkpoint
     if args.tfam_checkpoint_dir:

@@ -172,6 +172,32 @@ def clip_vision_params_to_openai(
     return out
 
 
+def config_from_openai_state(
+    state: Mapping[str, np.ndarray], prefix: str = "visual."
+) -> ClipVisionConfig:
+    """Infer a ClipVisionConfig from an OpenAI ``clip`` visual state dict's
+    shapes — the geometry-detection twin of :func:`config_from_hf_state`,
+    so a reference student checkpoint of ANY CLIP size loads without the
+    user restating its geometry. Same heads caveat: not recoverable from
+    weights; heads = hidden // 64 holds for every released CLIP ViT."""
+    s = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    conv = np.asarray(s["conv1.weight"])
+    hidden, _, patch, _ = conv.shape
+    n_pos = np.asarray(s["positional_embedding"]).shape[0]
+    image = int(round((n_pos - 1) ** 0.5)) * patch
+    n_layers = 1 + max(
+        int(k.split(".")[2]) for k in s
+        if k.startswith("transformer.resblocks.")
+    )
+    inter = np.asarray(s["transformer.resblocks.0.mlp.c_fc.weight"]).shape[0]
+    proj = np.asarray(s["proj"]).shape[1]
+    return ClipVisionConfig(
+        image_size=image, patch_size=patch, hidden_size=hidden,
+        num_layers=n_layers, num_heads=max(1, hidden // 64),
+        intermediate_size=inter, projection_dim=proj,
+    )
+
+
 def config_from_hf_state(state: Mapping[str, np.ndarray]) -> ClipVisionConfig:
     """Infer a ClipVisionConfig from an HF state dict's shapes."""
     s = dict(state)

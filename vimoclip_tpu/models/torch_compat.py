@@ -144,19 +144,28 @@ def student_params_from_torch(state: Mapping[str, np.ndarray],
     }
 
 
-def student_params_from_checkpoint(path: str, vision_config) -> dict:
+def student_params_from_checkpoint(path: str, vision_config=None):
     """Load a reference stage-1 student checkpoint FILE (student_best.pth,
     train.py:174 — a bare state dict, possibly DataParallel-prefixed) into
     StudentModel Flax params (torch needed at call time — offline tool
     path, never the TPU hot loop). File-level twin of
-    :func:`tfam_params_from_checkpoint`."""
+    :func:`tfam_params_from_checkpoint`.
+
+    Returns ``(vision_config, params)``. With ``vision_config=None`` the
+    backbone geometry is INFERRED from the checkpoint's own shapes
+    (clip_convert.config_from_openai_state) — a reference student of any
+    CLIP size loads without the user restating it."""
     import torch
+
+    from vimoclip_tpu.models.clip_convert import config_from_openai_state
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
     state = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
-    return student_params_from_torch(
-        {k: v.numpy() for k, v in state.items()}, vision_config
-    )
+    np_state = strip_prefix({k: v.numpy() for k, v in state.items()})
+    if vision_config is None:
+        vision_config = config_from_openai_state(np_state,
+                                                 prefix="visual_encoder.")
+    return vision_config, student_params_from_torch(np_state, vision_config)
 
 
 def student_params_to_torch(params: Mapping, vision_config) -> dict:
